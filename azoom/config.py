@@ -1,0 +1,111 @@
+"""Central configuration for the azoom framework.
+
+One canonical source of truth for sampling rate, STFT parameters, array
+geometry, and beamformer settings. The reference repo scattered these over
+three mechanisms (module constants, config.json, Final_pipeline/src/config.py
+-- see /root/reference/Final_pipeline/src/config.py:1-29 and
+rt_av_zoom/core/masked_mvdr.py:9-18) with inconsistent mic spacings
+(0.01 / 0.04 / 0.08 m). Here every pipeline takes an explicit, hashable
+``PipelineConfig`` so jitted functions can close over it statically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+SPEED_OF_SOUND = 343.0  # m/s
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static physics + STFT configuration (hashable; safe to close over in jit)."""
+
+    # Audio
+    fs: int = 16_000
+
+    # STFT (gens 2-4 of the reference: N_FFT=1024, hop 512,
+    # Final_pipeline/src/config.py:17-18)
+    n_fft: int = 1024
+    hop: int = 512
+
+    # Streaming window: 2.0 s chunks with 50% overlap-add
+    # (Final_pipeline/src/config.py:19 WIN_SIZE=32000)
+    win_size: int = 32_000
+
+    # Array geometry: 2-mic linear array
+    n_mics: int = 2
+    mic_dist: float = 0.08  # Final_pipeline/src/config.py:29 MIC_DIST
+    c: float = SPEED_OF_SOUND
+
+    # Beamforming
+    angle_target_deg: float = 90.0
+    sigma: float = 1e-7          # diagonal loading; doubles as "zoom" knob
+    hp_cutoff_hz: float = 100.0  # bypass unstable low bins
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    @property
+    def frames_per_chunk(self) -> int:
+        """STFT frames produced for one win_size chunk (scipy conventions:
+        zero `boundary` extension of n_fft//2 each side, then padded)."""
+        n = self.win_size + self.n_fft  # boundary extension both sides
+        return (n - self.n_fft) // self.hop + 1
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# The canonical "final generation" configuration (reference gen 4).
+DEFAULT = PipelineConfig()
+
+# Gen-1 legacy configuration (rt_av_zoom/core/masked_mvdr.py:9-18:
+# N_FFT=512, hop 256, D=0.01).
+GEN1 = PipelineConfig(n_fft=512, hop=256, mic_dist=0.01)
+
+
+@dataclasses.dataclass(frozen=True)
+class RoomConfig:
+    """Room-acoustics simulation defaults (Final_pipeline/src/config.py:21-29)."""
+
+    room_dim: tuple[float, float, float] = (4.9, 4.9, 4.9)
+    rt60_target: float = 0.5
+    sir_target_db: float = 0.0
+    # Mic array positions inside the room ([..]:27-28)
+    mic_locs: tuple[tuple[float, float, float], ...] = (
+        (2.41, 2.45, 1.5),
+        (2.49, 2.45, 1.5),
+    )
+    target_pos: tuple[float, float, float] = (2.45, 3.45, 1.5)
+    interferer_pos_fixed: tuple[float, float, float] = (3.22, 3.06, 1.5)
+    max_order: int = 15
+
+
+ROOM_DEFAULT = RoomConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class PathsConfig:
+    """Run-directory layout mirroring the reference product
+    (Final_pipeline/run.py:24-26: data/simulated/{name} -> data/results/{name}_results)."""
+
+    root: Path = Path("data")
+
+    @property
+    def sim_dir(self) -> Path:
+        return self.root / "simulated"
+
+    @property
+    def results_dir(self) -> Path:
+        return self.root / "results"
+
+    def run_sim_dir(self, run_name: str) -> Path:
+        return self.sim_dir / run_name
+
+    def run_results_dir(self, run_name: str) -> Path:
+        return self.results_dir / f"{run_name}_results"
+
+
+PATHS = PathsConfig()

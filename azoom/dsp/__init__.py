@@ -1,0 +1,22 @@
+from azoom.dsp.delays import (
+    far_field_delays,
+    fractional_delay,
+    mic_positions,
+    steering_matrix,
+    steering_vector,
+)
+from azoom.dsp.stft import istft, rfft_freqs, stft, stft_frame_count
+from azoom.dsp.windows import hann
+
+__all__ = [
+    "far_field_delays",
+    "fractional_delay",
+    "mic_positions",
+    "steering_matrix",
+    "steering_vector",
+    "istft",
+    "rfft_freqs",
+    "stft",
+    "stft_frame_count",
+    "hann",
+]

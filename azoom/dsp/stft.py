@@ -1,0 +1,129 @@
+"""STFT / iSTFT with scipy.signal.stft conventions, as pure JAX.
+
+Every generation of the reference pipeline builds on
+``scipy.signal.stft(x, fs, nperseg=N_FFT, noverlap=...)`` (e.g.
+/root/reference/rt_av_zoom/core/masked_mvdr.py:76,127 and
+Final_pipeline/src/inference.py:198,222). For numerical parity the same
+conventions are reproduced here:
+
+  * periodic Hann window of length ``n_fft``
+  * ``boundary='zeros'``: the signal is extended by ``n_fft // 2`` zeros on
+    both ends so the first/last samples sit at window centers
+  * ``padded=True``: zero-pad the tail to a whole number of hops
+  * one-sided rfft, spectrum scaling ``1 / win.sum()``
+  * iSTFT: windowed overlap-add normalized by the window-square OLA sum
+
+All shapes are static under ``jit`` (frame count is a function of the input
+length, known at trace time). Framing and overlap-add use a cheap
+slice/pad decomposition when ``hop`` divides ``n_fft`` (the 50 % case used
+throughout) instead of gathers/scatters, which maps onto TPU vector memory
+without irregular addressing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from azoom.dsp.windows import hann
+
+__all__ = ["stft", "istft", "stft_frame_count", "rfft_freqs"]
+
+
+def stft_frame_count(n_samples: int, n_fft: int, hop: int) -> int:
+    """Number of STFT frames scipy would produce (boundary + padded)."""
+    ext = n_samples + 2 * (n_fft // 2)
+    n_add = (-(ext - n_fft)) % hop
+    return (ext + n_add - n_fft) // hop + 1
+
+
+def rfft_freqs(n_fft: int, fs: float) -> jnp.ndarray:
+    """Center frequency (Hz) of each one-sided FFT bin."""
+    return jnp.arange(n_fft // 2 + 1, dtype=jnp.float32) * (fs / n_fft)
+
+
+def _frame(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Slice x (..., n) into overlapping frames (..., n_frames, n_fft)."""
+    n = x.shape[-1]
+    n_frames = (n - n_fft) // hop + 1
+    if n_fft % hop == 0:
+        # Decompose each frame into r = n_fft/hop contiguous hop-sized rows of
+        # the reshaped signal; frames become r shifted static slices.
+        r = n_fft // hop
+        n_rows = (n_frames - 1) + r
+        x = x[..., : n_rows * hop]
+        rows = x.reshape(*x.shape[:-1], n_rows, hop)
+        parts = [rows[..., k : k + n_frames, :] for k in range(r)]
+        return jnp.concatenate(parts, axis=-1)
+    starts = jnp.arange(n_frames) * hop
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    return x[..., idx]
+
+
+def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """OLA frames (..., n_frames, n_fft) into (..., (n_frames-1)*hop + n_fft)."""
+    *lead, n_frames, n_fft = frames.shape
+    out_len = (n_frames - 1) * hop + n_fft
+    if n_fft % hop == 0:
+        r = n_fft // hop
+        n_rows = (n_frames - 1) + r
+        out = jnp.zeros((*lead, n_rows, hop), frames.dtype)
+        for k in range(r):
+            part = frames[..., k * hop : (k + 1) * hop]
+            out = out.at[..., k : k + n_frames, :].add(part)
+        return out.reshape(*lead, n_rows * hop)[..., :out_len]
+    starts = jnp.arange(n_frames) * hop
+    idx = (starts[:, None] + jnp.arange(n_fft)[None, :]).reshape(-1)
+    flat = frames.reshape(*lead, n_frames * n_fft)
+    out = jnp.zeros((*lead, out_len), frames.dtype)
+    return out.at[..., idx].add(flat)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop"))
+def stft(x: jnp.ndarray, n_fft: int = 1024, hop: int = 512) -> jnp.ndarray:
+    """One-sided STFT of x (..., samples) -> complex (..., n_freqs, n_frames).
+
+    Matches ``scipy.signal.stft(x, nperseg=n_fft, noverlap=n_fft - hop)[2]``.
+    """
+    pad = n_fft // 2
+    n_ext = x.shape[-1] + 2 * pad
+    n_add = (-(n_ext - n_fft)) % hop
+    widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad + n_add)]
+    x = jnp.pad(x.astype(jnp.float32), widths)
+    frames = _frame(x, n_fft, hop)  # (..., T, n_fft)
+    win = hann(n_fft)
+    spec = jnp.fft.rfft(frames * win, axis=-1) / jnp.sum(win)
+    return jnp.swapaxes(spec, -1, -2)  # (..., F, T)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "length"))
+def istft(
+    Z: jnp.ndarray, n_fft: int = 1024, hop: int = 512, length: int | None = None
+) -> jnp.ndarray:
+    """Inverse STFT of Z (..., n_freqs, n_frames) -> real (..., samples).
+
+    Matches ``scipy.signal.istft(Z, nperseg=n_fft, noverlap=n_fft - hop)[1]``
+    (boundary trim included). ``length`` optionally crops/pads the output to
+    an exact sample count.
+    """
+    win = hann(n_fft)
+    frames = jnp.fft.irfft(jnp.swapaxes(Z, -1, -2), n=n_fft, axis=-1)
+    frames = frames * win * jnp.sum(win)
+    x = _overlap_add(frames, hop)
+
+    n_frames = Z.shape[-1]
+    wsq = jnp.broadcast_to(win * win, (n_frames, n_fft))
+    norm = _overlap_add(wsq, hop)
+    x = x / jnp.where(norm > 1e-10, norm, 1.0)
+
+    pad = n_fft // 2
+    x = x[..., pad:-pad] if pad else x
+    if length is not None:
+        if x.shape[-1] >= length:
+            x = x[..., :length]
+        else:
+            widths = [(0, 0)] * (x.ndim - 1) + [(0, length - x.shape[-1])]
+            x = jnp.pad(x, widths)
+    return x
