@@ -1,0 +1,21 @@
+from azoom.beam.covariance import masked_covariance, recursive_covariance_update
+from azoom.beam.linalg2x2 import (
+    cond_2x2,
+    eigh_2x2_hermitian,
+    solve_2x2_general,
+    solve_2x2_hermitian,
+)
+from azoom.beam.mvdr import apply_weights, masked_mvdr, mvdr_beamform, mvdr_weights
+
+__all__ = [
+    "masked_covariance",
+    "recursive_covariance_update",
+    "cond_2x2",
+    "eigh_2x2_hermitian",
+    "solve_2x2_general",
+    "solve_2x2_hermitian",
+    "apply_weights",
+    "masked_mvdr",
+    "mvdr_beamform",
+    "mvdr_weights",
+]

@@ -15,13 +15,14 @@ import jax.numpy as jnp
 
 from azoom.dsp.delays import far_field_delays, fractional_delay
 
-__all__ = ["mix_far_field", "FarFieldScene", "make_scene"]
+__all__ = ["mix_far_field", "make_scene"]
 
 
 def mix_far_field(
     sources: jnp.ndarray,
     angles_deg: jnp.ndarray,
     mic_dist: float,
+    fs: float,
     c: float = 343.0,
     n_mics: int = 2,
 ) -> jnp.ndarray:
@@ -31,12 +32,14 @@ def mix_far_field(
       sources: (..., S, n) mono source signals.
       angles_deg: (S,) or (..., S) azimuths.
       mic_dist: inter-mic spacing (m).
+      fs: sample rate (Hz).
 
     Returns:
       (..., M, n) mixture = sum_s delay(source_s, tau_m(theta_s)).
     """
-    fs = 1.0  # delays below are in seconds * fs; see note
-    raise NotImplementedError  # replaced below
+    return jnp.sum(
+        _delayed_images(sources, angles_deg, mic_dist, c, n_mics, fs), axis=-3
+    )
 
 
 def _delayed_images(sources, angles_deg, mic_dist, c, n_mics, fs):

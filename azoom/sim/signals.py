@@ -1,0 +1,95 @@
+"""Synthetic speech-like test signals.
+
+The reference downloads LJSpeech / LibriSpeech / MUSAN at runtime via
+kagglehub (rt_av_zoom/core/world.py:38-67, Final_pipeline/src/simulation.py:
+21-31). This environment has zero egress, so tests, benchmarks, and the
+hermetic demo path synthesize *speech-like* signals instead: a voiced
+harmonic series with a randomly-walking pitch contour, formant-ish spectral
+shaping, syllabic amplitude modulation, and unvoiced noise bursts. These
+have the spectro-temporal sparsity that makes IBM masking meaningful (two
+talkers rarely dominate the same TF bin), which is all the oracle pipeline
+needs to reproduce the reference's ~36 dB oracle-SIR behavior
+(readme.md:23).
+
+Everything is a pure jitted function of a PRNG key, so a whole batch of
+training scenes is one XLA program (replacing Dataset.__getitem__,
+model_training.py:55-92).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["speech_like", "speech_like_batch"]
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "fs"))
+def speech_like(
+    key: jax.Array,
+    n_samples: int,
+    fs: int = 16_000,
+    f0_base: float = 160.0,
+) -> jnp.ndarray:
+    """One synthetic utterance (n_samples,), roughly speech-shaped.
+
+    Components: 12-harmonic voiced source with a smoothed random-walk pitch
+    around ``f0_base``, 1/h spectral tilt, two syllable-rate (~3 Hz and
+    ~7 Hz) amplitude modulators with random phase, and a high-pass noise
+    floor standing in for unvoiced consonants.
+    """
+    k_f0, k_am1, k_am2, k_noise, k_jit = jax.random.split(key, 5)
+    t = jnp.arange(n_samples, dtype=jnp.float32) / fs
+
+    # Pitch contour: smoothed random walk, +/- ~20% around f0_base.
+    n_ctrl = 64
+    walk = jnp.cumsum(jax.random.normal(k_f0, (n_ctrl,)) * 0.06)
+    walk = walk - jnp.mean(walk)
+    f0_ctrl = f0_base * jnp.exp(jnp.clip(walk, -0.35, 0.35))
+    f0 = jnp.interp(
+        jnp.linspace(0.0, 1.0, n_samples), jnp.linspace(0.0, 1.0, n_ctrl), f0_ctrl
+    )
+    phase0 = 2.0 * jnp.pi * jnp.cumsum(f0) / fs  # integrated instantaneous phase
+
+    harmonics = jnp.arange(1, 13, dtype=jnp.float32)
+    # Formant-ish envelope: emphasize ~500 Hz and ~1500 Hz regions.
+    f_h = harmonics * f0_base
+    formant = (
+        jnp.exp(-(((f_h - 500.0) / 350.0) ** 2))
+        + 0.6 * jnp.exp(-(((f_h - 1500.0) / 500.0) ** 2))
+        + 0.15
+    )
+    amp_h = formant / harmonics
+    voiced = jnp.sum(
+        amp_h[:, None] * jnp.sin(harmonics[:, None] * phase0[None, :]), axis=0
+    )
+
+    # Syllabic AM: product of two raised sinusoids with random rate/phase.
+    r1 = 2.0 + 2.0 * jax.random.uniform(k_am1)
+    r2 = 5.0 + 4.0 * jax.random.uniform(k_am2)
+    p1 = 2.0 * jnp.pi * jax.random.uniform(k_am1)
+    p2 = 2.0 * jnp.pi * jax.random.uniform(k_am2)
+    am = (0.55 + 0.45 * jnp.sin(2 * jnp.pi * r1 * t + p1)) * (
+        0.6 + 0.4 * jnp.sin(2 * jnp.pi * r2 * t + p2)
+    )
+    am = jnp.maximum(am, 0.0) ** 1.5  # sharpen into syllable bursts
+
+    # Unvoiced noise floor (first-difference ~ high-pass white noise).
+    noise = jax.random.normal(k_noise, (n_samples,))
+    noise = jnp.diff(noise, prepend=0.0) * 0.02
+
+    x = voiced * am + noise * (0.3 + 0.7 * (1.0 - am))
+    return (x / (jnp.max(jnp.abs(x)) + 1e-9)).astype(jnp.float32)
+
+
+def speech_like_batch(
+    key: jax.Array, n_signals: int, n_samples: int, fs: int = 16_000
+) -> jnp.ndarray:
+    """(n_signals, n_samples) batch with distinct pitch registers so sources
+    are spectrally separable (like different talkers)."""
+    keys = jax.random.split(key, n_signals)
+    f0s = 110.0 * (1.35 ** jnp.arange(n_signals, dtype=jnp.float32))
+    f0s = jnp.clip(f0s, 90.0, 320.0)
+    return jax.vmap(lambda k, f0: speech_like(k, n_samples, fs, f0))(keys, f0s)
