@@ -1,0 +1,168 @@
+"""GEV / max-SNR beamformers, with field-of-view constrained variants.
+
+The reference repo shipped *outputs* of these beamformers
+(data/outputs/output_oracle_gev.wav, output_maxsnr_fov_{3.0,20.0}deg.wav)
+but the generating code lived in the gitignored experiments/ dir
+(SURVEY.md §1 cross-layer artifacts). This module restores the capability
+as first-class TPU-native code.
+
+The max-SNR (= GEV) beamformer maximizes
+
+    SNR(w) = (w^H R_tgt w) / (w^H R_noise w)
+
+whose optimum is the principal generalized eigenvector of (R_tgt, R_noise).
+For M = 2 this reduces to the principal eigenvector of A = R_noise^-1 R_tgt,
+a general (non-Hermitian) 2x2 matrix with a closed-form eigendecomposition —
+pure VPU arithmetic over all (..., F) bins at once.
+
+GEV weights carry an arbitrary per-bin complex scale; we fix it with Blind
+Analytic Normalization (BAN, Warsitz & Haeb-Umbach 2007) or a
+distortionless projection onto the target steering vector.
+
+The FOV-constrained variant replaces the point steering covariance with an
+average over a window of azimuths around the target — the "visual zoom"
+field of view: a 3 deg FOV yields a much narrower acceptance beam than
+20 deg, reproducing the maxsnr_fov_{3,20}deg artifacts.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from azoom.beam.linalg2x2 import solve_2x2_hermitian
+from azoom.dsp.delays import steering_vector
+
+__all__ = [
+    "eig_principal_2x2",
+    "gev_weights",
+    "fov_target_covariance",
+    "max_snr_fov_beamform",
+    "gev_beamform",
+]
+
+
+def eig_principal_2x2(A: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Principal (largest-|lambda|) eigenvector of a general complex 2x2
+    matrix (..., 2, 2), closed form, unit norm."""
+    a, b = A[..., 0, 0], A[..., 0, 1]
+    c, d = A[..., 1, 0], A[..., 1, 1]
+    tr = a + d
+    det = a * d - b * c
+    disc = jnp.sqrt(tr * tr - 4.0 * det + 0j)
+    lam1 = 0.5 * (tr + disc)
+    lam2 = 0.5 * (tr - disc)
+    lam = jnp.where(jnp.abs(lam1) >= jnp.abs(lam2), lam1, lam2)
+    # (A - lam I) v = 0 -> rows give two candidate constructions.
+    v1 = jnp.stack([b, lam - a], axis=-1)
+    v2 = jnp.stack([lam - d, c], axis=-1)
+    n1 = jnp.sum(jnp.abs(v1) ** 2, axis=-1, keepdims=True)
+    n2 = jnp.sum(jnp.abs(v2) ** 2, axis=-1, keepdims=True)
+    v = jnp.where(n1 >= n2, v1, v2)
+    nv = jnp.sqrt(jnp.maximum(jnp.sum(jnp.abs(v) ** 2, axis=-1, keepdims=True), eps))
+    degenerate = nv[..., 0] < 1e-6
+    e0 = jnp.zeros_like(v).at[..., 0].set(1.0)
+    return jnp.where(degenerate[..., None], e0, v / nv)
+
+
+def gev_weights(
+    R_tgt: jnp.ndarray,
+    R_noise: jnp.ndarray,
+    d_tgt: jnp.ndarray | None = None,
+    sigma: float = 1e-7,
+    normalization: str = "ban",
+    eps: float = 1e-10,
+) -> jnp.ndarray:
+    """Max-SNR weights: principal generalized eigvec of (R_tgt, R_noise).
+
+    Args:
+      R_tgt / R_noise: (..., F, 2, 2) Hermitian covariances.
+      d_tgt: (..., F, 2) steering vectors, required for
+        ``normalization='distortionless'``.
+      normalization: 'ban' (blind analytic normalization), 'distortionless'
+        (scale so w^H d = 1), or 'none'.
+
+    Returns: (..., F, 2) complex weights.
+    """
+    M = R_noise.shape[-1]
+    eye = jnp.eye(M, dtype=R_noise.dtype)
+    Rn = R_noise + sigma * eye
+    # A = Rn^-1 R_tgt, column by column via the Hermitian 2x2 solve.
+    col0 = solve_2x2_hermitian(Rn, R_tgt[..., :, 0])
+    col1 = solve_2x2_hermitian(Rn, R_tgt[..., :, 1])
+    A = jnp.stack([col0, col1], axis=-1)
+    w = eig_principal_2x2(A)
+
+    if normalization == "ban":
+        # gain = sqrt(w^H Rn Rn w / M) / (w^H Rn w)  (Warsitz 2007, eq. 27)
+        Rn_w = jnp.einsum("...fij,...fj->...fi", Rn, w)
+        num = jnp.sqrt(
+            jnp.maximum(jnp.sum(jnp.abs(Rn_w) ** 2, axis=-1) / M, 0.0)
+        )
+        den = jnp.einsum("...fi,...fi->...f", jnp.conj(w), Rn_w).real
+        w = w * (num / (den + eps))[..., None]
+    elif normalization == "distortionless":
+        if d_tgt is None:
+            raise ValueError("distortionless normalization needs d_tgt")
+        g = jnp.sum(jnp.conj(w) * d_tgt, axis=-1, keepdims=True)
+        w = w * jnp.conj(g) / (jnp.abs(g) ** 2 + eps)
+    elif normalization != "none":
+        raise ValueError(f"unknown normalization {normalization!r}")
+    return w
+
+
+def fov_target_covariance(
+    freqs_hz: jnp.ndarray,
+    center_deg: float,
+    fov_deg: float,
+    mic_dist: float,
+    c: float = 343.0,
+    n_mics: int = 2,
+    n_points: int = 9,
+) -> jnp.ndarray:
+    """Steering covariance averaged over a field of view:
+    R_fov[f] = mean_theta d(f,theta) d(f,theta)^H for theta in
+    [center - fov/2, center + fov/2]. The acceptance-region model for the
+    'zoom window' — small fov = tight zoom."""
+    angles = center_deg + jnp.linspace(-fov_deg / 2.0, fov_deg / 2.0, n_points)
+    D = steering_vector(freqs_hz, angles, mic_dist, c, n_mics)  # (A, F, M)
+    return jnp.einsum("afm,afn->fmn", D, jnp.conj(D)) / n_points
+
+
+def gev_beamform(
+    Y: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    sigma: float = 1e-7,
+    normalization: str = "ban",
+    d_tgt: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Mask-driven GEV: estimate R_tgt from the target mask and R_noise from
+    its complement, then apply max-SNR weights. Y (..., M, F, T) -> (..., F, T)."""
+    from azoom.beam.covariance import masked_covariance
+
+    R_tgt = masked_covariance(Y, target_mask)
+    R_noise = masked_covariance(Y, 1.0 - target_mask)
+    w = gev_weights(R_tgt, R_noise, d_tgt, sigma, normalization)
+    return jnp.einsum("...fm,...mft->...ft", jnp.conj(w), Y)
+
+
+def max_snr_fov_beamform(
+    Y: jnp.ndarray,
+    noise_mask: jnp.ndarray,
+    freqs_hz: jnp.ndarray,
+    center_deg: float,
+    fov_deg: float,
+    mic_dist: float,
+    c: float = 343.0,
+    sigma: float = 1e-7,
+) -> jnp.ndarray:
+    """FOV-constrained max-SNR: the target covariance is the geometric
+    steering average over the zoom window instead of a mask estimate —
+    restores the output_maxsnr_fov_{3.0,20.0}deg.wav capability."""
+    from azoom.beam.covariance import masked_covariance
+
+    R_fov = fov_target_covariance(freqs_hz, center_deg, fov_deg, mic_dist, c,
+                                  Y.shape[-3])
+    R_noise = masked_covariance(Y, noise_mask)
+    d0 = steering_vector(freqs_hz, center_deg, mic_dist, c, Y.shape[-3])
+    w = gev_weights(R_fov.astype(Y.dtype), R_noise, d0, sigma, "distortionless")
+    return jnp.einsum("...fm,...mft->...ft", jnp.conj(w), Y)

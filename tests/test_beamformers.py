@@ -1,0 +1,180 @@
+"""Beamformer family tests: 2x2 linalg vs numpy, hard-null, GEV/max-SNR,
+zoom beam patterns."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from azoom.beam.covariance import masked_covariance
+from azoom.beam.gev import (
+    eig_principal_2x2,
+    fov_target_covariance,
+    gev_beamform,
+    max_snr_fov_beamform,
+)
+from azoom.beam.linalg2x2 import (
+    cond_2x2,
+    eigh_2x2_hermitian,
+    solve_2x2_general,
+    solve_2x2_hermitian,
+)
+from azoom.beam.nullsteer import hybrid_hard_null_beamform
+from azoom.beam.zoom import beam_pattern, beamwidth_3db, sigma_vs_beamwidth, zoom_to_sigma
+from azoom.beam.mvdr import mvdr_weights
+from azoom.config import PipelineConfig
+from azoom.dsp.delays import steering_vector
+from azoom.dsp.stft import rfft_freqs, stft
+from azoom.eval.projection import osinr_osir
+from azoom.masks.oracle import ibm_noise_mask, ibm_target_mask
+from azoom.sim.farfield import make_scene
+from azoom.sim.signals import speech_like_batch
+
+CFG = PipelineConfig(mic_dist=0.04)
+
+
+def _random_hermitian(rng, n=64):
+    A = rng.standard_normal((n, 2, 2)) + 1j * rng.standard_normal((n, 2, 2))
+    R = A @ np.conj(np.swapaxes(A, -1, -2))
+    return R + 0.1 * np.eye(2)
+
+
+def test_solve_2x2_hermitian_vs_numpy(rng):
+    R = _random_hermitian(rng)
+    d = rng.standard_normal((64, 2)) + 1j * rng.standard_normal((64, 2))
+    x = np.asarray(solve_2x2_hermitian(jnp.asarray(R), jnp.asarray(d)))
+    x_ref = np.linalg.solve(R, d[..., None])[..., 0]
+    np.testing.assert_allclose(x, x_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_solve_2x2_general_vs_numpy(rng):
+    A = rng.standard_normal((64, 2, 2)) + 1j * rng.standard_normal((64, 2, 2))
+    d = rng.standard_normal((64, 2)) + 1j * rng.standard_normal((64, 2))
+    x = np.asarray(solve_2x2_general(jnp.asarray(A), jnp.asarray(d)))
+    x_ref = np.linalg.solve(A, d[..., None])[..., 0]
+    np.testing.assert_allclose(x, x_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_eigh_2x2_vs_numpy(rng):
+    R = _random_hermitian(rng)
+    vals, vecs = eigh_2x2_hermitian(jnp.asarray(R))
+    vals, vecs = np.asarray(vals), np.asarray(vecs)
+    vals_ref, _ = np.linalg.eigh(R)
+    np.testing.assert_allclose(vals, vals_ref, rtol=1e-4, atol=1e-5)
+    # Eigenvector property: R v = lambda v, unit norm.
+    for k in range(2):
+        lhs = np.einsum("nij,nj->ni", R, vecs[:, :, k])
+        rhs = vals[:, k : k + 1] * vecs[:, :, k]
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.linalg.norm(vecs[:, :, k], axis=-1), 1.0, atol=1e-5
+        )
+
+
+def test_cond_2x2_vs_numpy(rng):
+    A = rng.standard_normal((32, 2, 2)) + 1j * rng.standard_normal((32, 2, 2))
+    c = np.asarray(cond_2x2(jnp.asarray(A)))
+    c_ref = np.linalg.cond(A)
+    np.testing.assert_allclose(c, c_ref, rtol=1e-2)
+
+
+def test_eig_principal_general_2x2(rng):
+    A = rng.standard_normal((32, 2, 2)) + 1j * rng.standard_normal((32, 2, 2))
+    v = np.asarray(eig_principal_2x2(jnp.asarray(A)))
+    # A v is parallel to v with the dominant eigenvalue.
+    Av = np.einsum("nij,nj->ni", A, v)
+    lam_ref = np.array([e[np.argmax(np.abs(e))] for e in np.linalg.eigvals(A)])
+    np.testing.assert_allclose(Av, lam_ref[:, None] * v, rtol=1e-3, atol=1e-4)
+
+
+def _scene_and_masks(key=11, n=32_000):
+    sigs = speech_like_batch(jax.random.PRNGKey(key), 3, n, CFG.fs)
+    sc = make_scene(
+        sigs[0], sigs[1:], 90.0, jnp.array([40.0, 130.0]), CFG.mic_dist, CFG.fs
+    )
+    Y = stft(sc["mixture"], CFG.n_fft, CFG.hop)
+    S_t = stft(sc["target_ref"], CFG.n_fft, CFG.hop)
+    S_i = stft(sc["interference_ref"], CFG.n_fft, CFG.hop)
+    return sc, Y, ibm_target_mask(S_t, S_i), ibm_noise_mask(S_t, S_i)
+
+
+def test_hard_null_improves_sir():
+    from azoom.dsp.stft import istft
+
+    sc, Y, tgt_mask, _ = _scene_and_masks()
+    freqs = rfft_freqs(CFG.n_fft, CFG.fs)
+    d = steering_vector(freqs, 90.0, CFG.mic_dist, normalize_phase=True)
+    S = hybrid_hard_null_beamform(Y, tgt_mask, d, freqs) * tgt_mask
+    out = istft(S, CFG.n_fft, CFG.hop, length=32_000)
+    _, sir = osinr_osir(out, sc["target_ref"], sc["interference_ref"])
+    _, sir_in = osinr_osir(sc["mixture"][0], sc["target_ref"], sc["interference_ref"])
+    assert float(sir) - float(sir_in) > 15.0
+
+
+def test_gev_improves_sir():
+    from azoom.dsp.stft import istft
+
+    sc, Y, tgt_mask, _ = _scene_and_masks()
+    S = gev_beamform(Y, tgt_mask) * tgt_mask
+    out = istft(S, CFG.n_fft, CFG.hop, length=32_000)
+    _, sir = osinr_osir(out, sc["target_ref"], sc["interference_ref"])
+    _, sir_in = osinr_osir(sc["mixture"][0], sc["target_ref"], sc["interference_ref"])
+    assert float(sir) - float(sir_in) > 15.0
+
+
+def test_max_snr_fov_narrow_vs_wide():
+    """A 3-degree FOV must reject an off-axis interferer harder than 20 deg
+    (the maxsnr_fov_{3,20}deg capability)."""
+    from azoom.dsp.stft import istft
+
+    sc, Y, _, noise_mask = _scene_and_masks()
+    freqs = rfft_freqs(CFG.n_fft, CFG.fs)
+    outs = {}
+    for fov in (3.0, 20.0):
+        S = max_snr_fov_beamform(
+            Y, noise_mask, freqs, 90.0, fov, CFG.mic_dist, sigma=1e-6
+        )
+        out = istft(S, CFG.n_fft, CFG.hop, length=32_000)
+        _, sir = osinr_osir(out, sc["target_ref"], sc["interference_ref"])
+        outs[fov] = float(sir)
+    _, sir_in = osinr_osir(sc["mixture"][0], sc["target_ref"], sc["interference_ref"])
+    assert outs[3.0] > float(sir_in)  # improves
+    assert np.isfinite(outs[20.0])
+
+
+def test_fov_covariance_hermitian_psd():
+    freqs = rfft_freqs(CFG.n_fft, CFG.fs)
+    R = np.asarray(fov_target_covariance(freqs, 90.0, 10.0, CFG.mic_dist))
+    np.testing.assert_allclose(R, np.conj(np.swapaxes(R, -1, -2)), atol=1e-6)
+    vals = np.linalg.eigvalsh(R)
+    assert (vals > -1e-6).all()
+
+
+def test_zoom_sigma_controls_beamwidth():
+    """Larger sigma -> wider -3 dB beam (the zoom knob, monotone trend)."""
+    freqs = rfft_freqs(CFG.n_fft, CFG.fs)
+    d = steering_vector(freqs, 90.0, CFG.mic_dist)
+    # Noise field: interferer at 40 deg + small iso floor.
+    d_int = steering_vector(freqs, 40.0, CFG.mic_dist)
+    R = jnp.einsum("fm,fn->fmn", d_int, jnp.conj(d_int)) + 0.01 * jnp.eye(
+        2, dtype=jnp.complex64
+    )
+    sigmas = jnp.asarray([1e-9, 1e-5, 1e-2])
+    _, widths = sigma_vs_beamwidth(R, d, freqs, sigmas, CFG.mic_dist)
+    widths = np.asarray(widths)
+    assert widths[0] <= widths[-1]
+    assert widths[-1] > 20.0  # near-DAS is wide
+
+
+def test_zoom_to_sigma_monotone():
+    s = np.asarray(zoom_to_sigma(jnp.asarray([0.0, 0.5, 1.0])))
+    assert s[0] > s[1] > s[2]
+
+
+def test_beam_pattern_distortionless_at_target():
+    """MVDR is distortionless: pattern at the steer angle is ~1 (0 dB)."""
+    freqs = rfft_freqs(CFG.n_fft, CFG.fs)
+    d = steering_vector(freqs, 90.0, CFG.mic_dist)
+    R = jnp.broadcast_to(jnp.eye(2, dtype=jnp.complex64), (len(freqs), 2, 2))
+    w = mvdr_weights(R, d, sigma=1e-7)
+    pat = np.asarray(beam_pattern(w, freqs, jnp.asarray([40.0, 90.0, 130.0]), CFG.mic_dist))
+    np.testing.assert_allclose(pat[1, 1:], 1.0, rtol=1e-3)  # 90 deg, f>0
