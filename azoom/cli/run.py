@@ -1,0 +1,190 @@
+"""Single-run CLI: ``python -m azoom.cli.run sim|inf|eval|full --name X``.
+
+Rebuild of Final_pipeline/run.py:5-61 with the same mode set and directory
+convention (data/simulated/{name} -> data/results/{name}_results,
+run.py:24-26). Additions over the reference: ``--beamformer`` selects
+mvdr | hard_null | oracle | gev (oracle needs no trained model — it uses
+the simulation's answer-key stems, the gen-1 scientific path), ``--angle``
+steers the zoom direction, ``--zoom`` maps a 0..1 zoom level onto the
+diagonal-loading beamwidth control.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from azoom.config import DEFAULT, PathsConfig, RoomConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="azoom.run", description="Audio-Zoom single-run pipeline"
+    )
+    p.add_argument("mode", choices=["sim", "inf", "eval", "full"])
+    p.add_argument("--name", default="test_run", help="Run ID")
+    p.add_argument("--interferers", type=int, default=1)
+    p.add_argument("--no-reverb", action="store_true")
+    p.add_argument("--snr", type=float, default=50.0)
+    p.add_argument("--duration", type=float, default=4.0)
+    p.add_argument("--max-order", type=int, default=None,
+                   help="image-source order override (default RoomConfig)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--beamformer", default="oracle",
+        choices=["oracle", "mvdr", "hard_null", "gev"],
+        help="oracle = answer-key IBM (no model); others need --ckpt",
+    )
+    p.add_argument("--ckpt", default=None, help="orbax checkpoint dir (trained model)")
+    p.add_argument("--model", default="fpu", choices=["fpu", "deepfpu"])
+    p.add_argument("--features", default="logmag_ipd", choices=["logmag_ipd", "physics"])
+    p.add_argument("--angle", type=float, default=90.0, help="zoom steering angle (deg)")
+    p.add_argument("--sigma", type=float, default=None, help="diagonal loading")
+    p.add_argument("--zoom", type=float, default=None,
+                   help="zoom level 0..1 (overrides --sigma via zoom_to_sigma)")
+    p.add_argument("--data-root", default="data")
+    return p
+
+
+def _config(args):
+    cfg = DEFAULT.replace(angle_target_deg=args.angle)
+    if args.zoom is not None:
+        from azoom.beam.zoom import zoom_to_sigma
+
+        cfg = cfg.replace(sigma=float(zoom_to_sigma(args.zoom)))
+    elif args.sigma is not None:
+        cfg = cfg.replace(sigma=args.sigma)
+    return cfg
+
+
+def do_sim(args, paths: PathsConfig) -> Path:
+    import jax
+
+    from azoom.io.wav import write_wav
+    from azoom.sim.scene import SceneSpec, generate_scene
+    from azoom.utils.host import to_numpy
+
+    spec = SceneSpec(
+        reverb=not args.no_reverb,
+        n_interferers=args.interferers,
+        snr_db=args.snr,
+        duration_s=args.duration,
+    )
+    print(f"[SIM] Generating scene '{args.name}' ({spec})...")
+    sc = generate_scene(
+        jax.random.PRNGKey(args.seed), spec, RoomConfig(), max_order=args.max_order
+    )
+    outdir = paths.run_sim_dir(args.name)
+    fs = spec.fs
+    write_wav(outdir / "mixture.wav", to_numpy(sc["mixture"]).T, fs)
+    write_wav(outdir / "target.wav", to_numpy(sc["target_stereo"]).T, fs)
+    write_wav(outdir / "interference.wav", to_numpy(sc["interference_stereo"]).T, fs)
+    print(f"[SIM] Files saved to: {outdir}")
+    return outdir
+
+
+def _load_model_variables(args, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from azoom.models.unet import DeepFPU, FreqPreservingUNet
+    from azoom.train.loop import create_state
+
+    model = FreqPreservingUNet() if args.model == "fpu" else DeepFPU()
+    n_ch = 2 if args.features == "logmag_ipd" else 4
+    state = create_state(
+        model, jax.random.PRNGKey(0), (1, cfg.n_freqs, 64, n_ch)
+    )
+    if args.ckpt:
+        import orbax.checkpoint as ocp
+
+        mngr = ocp.CheckpointManager(Path(args.ckpt).absolute())
+        step = mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {args.ckpt}")
+        restored = mngr.restore(step)
+        state = jax.tree_util.tree_map(jnp.asarray, restored)
+        print(f"[INF] Loaded checkpoint step {step} from {args.ckpt}")
+    else:
+        print("[INF] WARNING: no --ckpt given; using untrained weights")
+    return model, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def do_inf(args, paths: PathsConfig) -> Path:
+    import jax.numpy as jnp
+
+    from azoom.io.wav import read_wav, write_wav
+    from azoom.utils.host import to_numpy
+
+    cfg = _config(args)
+    sim_dir = paths.run_sim_dir(args.name)
+    res_dir = paths.run_results_dir(args.name)
+    mix, fs = read_wav(sim_dir / "mixture.wav")
+    mixture = jnp.asarray(mix.T)  # (M, n)
+    print(f"[INF] Enhancing '{args.name}' with {args.beamformer} beamformer...")
+
+    if args.beamformer == "oracle":
+        from azoom.pipelines.oracle import oracle_enhance
+
+        tgt, _ = read_wav(sim_dir / "target.wav")
+        itf, _ = read_wav(sim_dir / "interference.wav")
+        out = oracle_enhance(
+            mixture,
+            jnp.asarray(tgt[:, 0] if tgt.ndim > 1 else tgt),
+            jnp.asarray(itf[:, 0] if itf.ndim > 1 else itf),
+            cfg,
+            post_filter="irm",
+        )
+    elif args.beamformer == "gev":
+        from azoom.dsp.stft import istft, stft
+        from azoom.beam.gev import gev_beamform
+        from azoom.masks.oracle import ibm_target_mask
+
+        tgt, _ = read_wav(sim_dir / "target.wav")
+        itf, _ = read_wav(sim_dir / "interference.wav")
+        Y = stft(mixture, cfg.n_fft, cfg.hop)
+        S_t = stft(jnp.asarray(tgt[:, 0] if tgt.ndim > 1 else tgt), cfg.n_fft, cfg.hop)
+        S_i = stft(jnp.asarray(itf[:, 0] if itf.ndim > 1 else itf), cfg.n_fft, cfg.hop)
+        m = ibm_target_mask(S_t, S_i)
+        out = istft(gev_beamform(Y, m) * m, cfg.n_fft, cfg.hop,
+                    length=mixture.shape[-1])
+    else:
+        from azoom.pipelines.learned import learned_enhance_streaming
+
+        model, variables = _load_model_variables(args, cfg)
+        out = learned_enhance_streaming(
+            mixture, model, variables, cfg,
+            beamformer=args.beamformer, feature_kind=args.features,
+        )
+
+    out_path = res_dir / f"{args.name}_enhanced.wav"
+    write_wav(out_path, to_numpy(out), fs)
+    print(f"[INF] Enhanced audio saved to: {out_path}")
+    return out_path
+
+
+def do_eval(args, paths: PathsConfig):
+    from azoom.eval.reports import evaluate_run_files
+
+    return evaluate_run_files(
+        args.name,
+        paths.run_sim_dir(args.name),
+        paths.run_results_dir(args.name),
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    paths = PathsConfig(root=Path(args.data_root))
+    if args.mode in ("sim", "full"):
+        do_sim(args, paths)
+    if args.mode in ("inf", "full"):
+        do_inf(args, paths)
+    if args.mode in ("eval", "full"):
+        do_eval(args, paths)
+
+
+if __name__ == "__main__":
+    main()

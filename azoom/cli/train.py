@@ -1,0 +1,62 @@
+"""Training CLI: ``python -m azoom.cli.train --model deepfpu --steps 5000``.
+
+Rebuild of the reference trainers (model_training.py:139-182,
+model_neural.py:155-187) on the azoom.train loop: on-device synthesized
+batches, Adam + BCE, orbax checkpointing with automatic resume, optional
+data-parallel execution over all visible devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="azoom.train")
+    p.add_argument("--model", default="fpu", choices=["fpu", "deepfpu"])
+    p.add_argument("--features", default="logmag_ipd", choices=["logmag_ipd", "physics"])
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--base", type=int, default=32, help="base channel width")
+    p.add_argument("--seconds", type=float, default=2.0, help="crop length")
+    p.add_argument("--ckpt", default="checkpoints/mask_estimator")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp", action="store_true", help="data-parallel over all devices")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from azoom.config import DEFAULT
+    from azoom.models.unet import DeepFPU, FreqPreservingUNet
+    from azoom.train.loop import fit
+
+    cfg = DEFAULT.replace(mic_dist=0.04)
+    model_cls = FreqPreservingUNet if args.model == "fpu" else DeepFPU
+    model = model_cls(base=args.base)
+    mesh = None
+    if args.dp and len(jax.devices()) > 1:
+        from azoom.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"[TRAIN] data-parallel over {mesh.devices.size} devices")
+
+    result = fit(
+        model,
+        cfg,
+        n_steps=args.steps,
+        batch_size=args.batch,
+        learning_rate=args.lr,
+        feature_kind=args.features,
+        n_samples=int(args.seconds * cfg.fs),
+        seed=args.seed,
+        checkpoint_dir=args.ckpt,
+        resume=not args.no_resume,
+        mesh=mesh,
+    )
+    print(f"[TRAIN] finished at step {int(result.state.step)}; ckpt in {args.ckpt}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Headline benchmark: streaming learned-mask enhancement throughput.
+
+Measures the flagship inference path (physics-aware DeepFPU mask net +
+batched masked-MVDR + iSTFT, the Final_pipeline equivalent) on the default
+backend (one TPU chip under the driver), batched over parallel streams.
+
+Prints ONE JSON line:
+  metric      : audio realtime factor per chip (seconds of 16 kHz stereo
+                audio enhanced per wall-clock second)
+  vs_baseline : ratio vs. the reference's real-time-capable CPU pipeline
+                (RTF ~= 1x, tf_lite_version/inference.py:387 instruments
+                exactly this number; BASELINE.json targets >= 100x)
+
+Also embeds secondary fields: STFT frames/sec/chip (the BASELINE.json
+primary metric) and oracle-SIR parity on the same device.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import azoom  # noqa: F401  (enables the persistent compile cache)
+    from azoom.config import PipelineConfig
+    from azoom.eval.projection import osinr_osir
+    from azoom.models.unet import DeepFPU
+    from azoom.pipelines.learned import learned_enhance
+    from azoom.pipelines.oracle import oracle_enhance
+    from azoom.sim.farfield import make_scene
+    from azoom.sim.signals import speech_like_batch
+    from azoom.train.data import synth_batch
+    from azoom.train.loop import create_state
+
+    cfg = PipelineConfig(mic_dist=0.04)
+    fs = cfg.fs
+
+    # Flagship model at production size (DeepFPU base=32, 4-ch physics).
+    model = DeepFPU(base=32)
+    probe = synth_batch(jax.random.PRNGKey(0), 1, cfg, "physics", cfg.win_size)
+    state = create_state(model, jax.random.PRNGKey(0), probe["features"].shape)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    batch = 32          # parallel 2 s chunks per step
+    n = cfg.win_size    # 32000 samples = 2 s per chunk
+    rng = np.random.default_rng(0)
+    mix = jnp.asarray(rng.standard_normal((batch, 2, n)) * 0.1, jnp.float32)
+
+    @jax.jit
+    def step(mix, variables):
+        return learned_enhance(
+            mix, model, variables, cfg, beamformer="mvdr", feature_kind="physics"
+        )
+
+    # Warmup / compile.
+    step(mix, variables).block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(mix, variables)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    audio_seconds = iters * batch * (n / fs)
+    rtf = audio_seconds / dt
+    frames_per_chunk = probe["features"].shape[2]
+    frames_per_sec = iters * batch * frames_per_chunk / dt
+
+    # Oracle-SIR parity check on the same device (BASELINE: 36.24 dB ref).
+    sigs = speech_like_batch(jax.random.PRNGKey(7), 3, n, fs)
+    sc = make_scene(
+        sigs[0], sigs[1:], 90.0, jnp.asarray([40.0, 130.0]), cfg.mic_dist, fs
+    )
+    enh = oracle_enhance(sc["mixture"], sc["target_ref"], sc["interference_ref"], cfg)
+    _, sir = osinr_osir(enh, sc["target_ref"], sc["interference_ref"])
+
+    print(
+        json.dumps(
+            {
+                "metric": "audio_realtime_factor_per_chip",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 1.0, 2),
+                "stft_frames_per_sec_per_chip": round(frames_per_sec, 1),
+                "oracle_sir_db": round(float(sir), 2),
+                "batch": batch,
+                "chunk_seconds": n / fs,
+                "iters": iters,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""CLI end-to-end tests: the full sim|inf|eval product path in a tmp dir,
+batch sweep CSV, analyze plots, diagnose, dereverb, debug_srp."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    env["PYTHONPATH"] = str(REPO)
+    return subprocess.run(
+        [sys.executable, "-m"] + args, cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=560,
+    )
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("cliwork")
+
+
+def test_full_pipeline_cli(workdir):
+    r = _run(
+        ["azoom.cli.run", "full", "--name", "smoke", "--duration", "1.0",
+         "--max-order", "3", "--beamformer", "oracle"],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (workdir / "data/simulated/smoke/mixture.wav").exists()
+    assert (workdir / "data/results/smoke_results/smoke_enhanced.wav").exists()
+    report = (workdir / "data/results/smoke_results/report.txt").read_text()
+    assert "SIR IMPROVEEMENT" not in report  # sanity: no typo'd writer
+    assert "SIR IMPROVEMENT" in report
+    # Oracle mode must strongly improve SIR even in reverb.
+    imp = float(report.split("SIR IMPROVEMENT:")[1].split("dB")[0])
+    assert imp > 5.0, report
+
+
+def test_batch_vectorized_and_analyze(workdir):
+    r = _run(["azoom.cli.batch", "--n", "4", "--duration", "0.5"], workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    csv = workdir / "data/results/batch_metrics.csv"
+    assert csv.exists()
+    # 1 header + 1 smoke row may already exist from test above; >= 4 batch rows.
+    lines = csv.read_text().strip().splitlines()
+    assert len(lines) >= 5
+
+    r2 = _run(["azoom.cli.analyze", "--csv", str(csv)], workdir)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert (csv.parent / "sir_improvement_hist.png").exists()
+
+
+def test_diagnose_cli(workdir):
+    mix = workdir / "data/simulated/smoke/mixture.wav"
+    r = _run(["azoom.cli.diagnose", str(mix)], workdir)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout
+
+
+def test_dereverb_cli(workdir):
+    outdir = workdir / "data/simulated/smoke"
+    r = _run(["azoom.cli.dereverb", "--outdir", str(outdir), "--iters", "1"], workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (outdir / "mixture_wpe.wav").exists()
+
+
+def test_debug_srp_cli(workdir):
+    outdir = workdir / "data/simulated/smoke"
+    r = _run(["azoom.cli.debug_srp", str(outdir)], workdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (outdir / "srp_scan.png").exists()
+    assert "peak response" in r.stdout
