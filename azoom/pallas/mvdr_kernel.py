@@ -1,0 +1,175 @@
+"""Fused masked-MVDR Pallas TPU kernel.
+
+The hot op of the whole framework (SURVEY.md §3.1: chunk loop x per-bin
+beamforming loop): masked covariance accumulation, diagonal loading, the
+closed-form 2x2 Hermitian solve, distortionless normalization, and weight
+application — fused into ONE kernel over the frequency grid.
+
+Why a kernel at all: the XLA path (azoom.beam.mvdr) materializes the
+(F, 2, 2) covariance through an einsum, then re-reads Y from HBM to apply
+the weights. Here each (BLOCK_F, T) tile of the stereo STFT is loaded into
+VMEM once; both passes (reduce over T for R, then elementwise apply) happen
+on-chip, halving HBM traffic on the dominant arrays.
+
+Complex support on TPU Pallas is limited, so all arithmetic carries
+explicit (re, im) planes (SURVEY.md §7 "hard parts"); the 2x2 solve is the
+adjugate closed form — no LinAlgError fallback paths exist by construction.
+
+Frequency is the sublane axis (block rows), time the lane axis; inputs are
+zero-padded to tile multiples by the wrapper (padded mask columns are zero,
+so they contribute nothing to the covariance sums).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["masked_mvdr_pallas", "mvdr_pallas_raw"]
+
+_EPS_NORM = 1e-6   # covariance normalization guard (masked_mvdr.py:100)
+_EPS_DEN = 1e-10   # distortionless denominator guard
+
+
+def _kernel(sigma, y0r, y0i, y1r, y1i, m, d0r, d0i, d1r, d1i, sr, si):
+    """One (BLOCK_F, T) tile: R accumulate -> load -> solve -> apply."""
+    a0r, a0i = y0r[:], y0i[:]
+    a1r, a1i = y1r[:], y1i[:]
+    mk = m[:]
+
+    norm = jnp.sum(mk, axis=1, keepdims=True) + _EPS_NORM
+    R00 = jnp.sum(mk * (a0r * a0r + a0i * a0i), axis=1, keepdims=True) / norm + sigma
+    R11 = jnp.sum(mk * (a1r * a1r + a1i * a1i), axis=1, keepdims=True) / norm + sigma
+    R01r = jnp.sum(mk * (a0r * a1r + a0i * a1i), axis=1, keepdims=True) / norm
+    R01i = jnp.sum(mk * (a0i * a1r - a0r * a1i), axis=1, keepdims=True) / norm
+
+    det = R00 * R11 - (R01r * R01r + R01i * R01i)
+
+    e0r, e0i = d0r[:], d0i[:]
+    e1r, e1i = d1r[:], d1i[:]
+
+    # x = adj(R) d / det  with  adj(R) = [[R11, -R01], [-conj(R01), R00]].
+    x0r = (R11 * e0r - (R01r * e1r - R01i * e1i)) / det
+    x0i = (R11 * e0i - (R01r * e1i + R01i * e1r)) / det
+    x1r = (R00 * e1r - (R01r * e0r + R01i * e0i)) / det
+    x1i = (R00 * e1i + (R01i * e0r - R01r * e0i)) / det
+
+    # denom = d^H x  (real for Hermitian R, kept complex for exactness).
+    denr = e0r * x0r + e0i * x0i + e1r * x1r + e1i * x1i
+    deni = e0r * x0i - e0i * x0r + e1r * x1i - e1i * x1r
+    dd = denr * denr + deni * deni + _EPS_DEN
+
+    # w = x / denom = x * conj(denom) / |denom|^2.
+    w0r = (x0r * denr + x0i * deni) / dd
+    w0i = (x0i * denr - x0r * deni) / dd
+    w1r = (x1r * denr + x1i * deni) / dd
+    w1i = (x1i * denr - x1r * deni) / dd
+
+    # S = w^H Y = conj(w0) Y0 + conj(w1) Y1 (broadcast (BF,1) over (BF,T)).
+    sr[:] = w0r * a0r + w0i * a0i + w1r * a1r + w1i * a1i
+    si[:] = w0r * a0i - w0i * a0r + w1r * a1i - w1i * a1r
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sigma", "block_f", "interpret")
+)
+def mvdr_pallas_raw(
+    Y: jnp.ndarray,
+    noise_mask: jnp.ndarray,
+    d: jnp.ndarray,
+    sigma: float = 1e-7,
+    block_f: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused masked MVDR on one STFT block (no batching, no post-filter).
+
+    Args:
+      Y: complex64 (2, F, T).
+      noise_mask: float32 (F, T).
+      d: complex64 (F, 2) steering vectors.
+
+    Returns: complex64 (F, T) beamformed STFT.
+    """
+    _, F, T = Y.shape
+    Fp = -(-F // block_f) * block_f
+    Tp = -(-T // 128) * 128
+
+    def padft(x):
+        return jnp.pad(x, ((0, Fp - F), (0, Tp - T)))
+
+    y0r = padft(Y[0].real.astype(jnp.float32))
+    y0i = padft(Y[0].imag.astype(jnp.float32))
+    y1r = padft(Y[1].real.astype(jnp.float32))
+    y1i = padft(Y[1].imag.astype(jnp.float32))
+    m = padft(noise_mask.astype(jnp.float32))
+
+    def padf(x):  # (F,) -> (Fp, 1)
+        return jnp.pad(x.astype(jnp.float32), (0, Fp - F))[:, None]
+
+    d0r, d0i = padf(d[:, 0].real), padf(d[:, 0].imag)
+    d1r, d1i = padf(d[:, 1].real), padf(d[:, 1].imag)
+    # Padded rows have d = 0 -> denom guard keeps them finite; rows are
+    # cropped below anyway.
+
+    ft_spec = pl.BlockSpec(
+        (block_f, Tp), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    f1_spec = pl.BlockSpec((block_f, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    sr, si = pl.pallas_call(
+        functools.partial(_kernel, float(sigma)),
+        grid=(Fp // block_f,),
+        in_specs=[ft_spec] * 5 + [f1_spec] * 4,
+        out_specs=[ft_spec, ft_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((Fp, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((Fp, Tp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(y0r, y0i, y1r, y1i, m, d0r, d0i, d1r, d1i)
+
+    return jax.lax.complex(sr[:F, :T], si[:F, :T])
+
+
+def masked_mvdr_pallas(
+    Y: jnp.ndarray,
+    noise_mask: jnp.ndarray,
+    d: jnp.ndarray,
+    freqs_hz: jnp.ndarray,
+    target_mask: jnp.ndarray | None = None,
+    sigma: float = 1e-7,
+    hp_cutoff_hz: float = 100.0,
+    mask_floor: float = 0.0,
+    block_f: int = 128,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Drop-in fused replacement for azoom.beam.mvdr.masked_mvdr.
+
+    Y (..., 2, F, T); leading batch dims are vmapped over the kernel.
+    ``interpret=None`` auto-selects interpreter mode off-TPU (CI runs on
+    CPU; the compiled path runs on real chips).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if Y.ndim > 3:
+        lead = Y.shape[:-3]
+        Yf = Y.reshape((-1,) + Y.shape[-3:])
+        mf = noise_mask.reshape((-1,) + noise_mask.shape[-2:])
+        S = jax.vmap(
+            lambda y, m: mvdr_pallas_raw(y, m, d, sigma, block_f, interpret)
+        )(Yf, mf)
+        S = S.reshape(lead + S.shape[-2:])
+    else:
+        S = mvdr_pallas_raw(Y, noise_mask, d, sigma, block_f, interpret)
+
+    keep = (freqs_hz >= hp_cutoff_hz)[:, None]
+    S = jnp.where(keep, S, 0.0)
+    if target_mask is not None:
+        gain = jnp.maximum(target_mask, mask_floor) if mask_floor > 0 else target_mask
+        S = S * gain
+    return S
