@@ -50,23 +50,32 @@ def main():
 
     batch = 32          # parallel 2 s chunks per step
     n = cfg.win_size    # 32000 samples = 2 s per chunk
+    iters = 10
     rng = np.random.default_rng(0)
     mix = jnp.asarray(rng.standard_normal((batch, 2, n)) * 0.1, jnp.float32)
 
+    # Timing methodology: the axon backend's block_until_ready does NOT
+    # wait for remote completion, and per-dispatch tunnel round-trips are
+    # ~100s of ms. So the iteration loop runs INSIDE one jit with a data
+    # dependence between iterations, and completion is forced by fetching
+    # a scalar reduction (see azoom.utils.profiling).
     @jax.jit
-    def step(mix, variables):
-        return learned_enhance(
-            mix, model, variables, cfg, beamformer="mvdr", feature_kind="physics"
-        )
+    def bench_loop(mix, variables):
+        def body(i, carry):
+            perturbed = mix + 1e-6 * carry[:, None, :]
+            return learned_enhance(
+                perturbed, model, variables, cfg,
+                beamformer="mvdr", feature_kind="physics",
+            )
 
-    # Warmup / compile.
-    step(mix, variables).block_until_ready()
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((batch, n)))
 
-    iters = 10
+    # Warmup / compile (forced by the scalar fetch).
+    float(jnp.sum(jnp.abs(bench_loop(mix, variables))))
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(mix, variables)
-    out.block_until_ready()
+    out = bench_loop(mix, variables)
+    float(jnp.sum(jnp.abs(out)))
     dt = time.perf_counter() - t0
 
     audio_seconds = iters * batch * (n / fs)
