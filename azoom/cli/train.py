@@ -13,7 +13,7 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="azoom.train")
-    p.add_argument("--model", default="fpu", choices=["fpu", "deepfpu"])
+    p.add_argument("--model", default="fpu", choices=["fpu", "deepfpu", "blstm"])
     p.add_argument("--features", default="logmag_ipd", choices=["logmag_ipd", "physics"])
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=16)
@@ -29,12 +29,16 @@ def main(argv=None):
     import jax
 
     from azoom.config import DEFAULT
+    from azoom.models.blstm import BLSTMMaskNet
     from azoom.models.unet import DeepFPU, FreqPreservingUNet
     from azoom.train.loop import fit
 
     cfg = DEFAULT.replace(mic_dist=0.04)
-    model_cls = FreqPreservingUNet if args.model == "fpu" else DeepFPU
-    model = model_cls(base=args.base)
+    if args.model == "blstm":
+        model = BLSTMMaskNet(hidden=8 * args.base)
+    else:
+        model_cls = FreqPreservingUNet if args.model == "fpu" else DeepFPU
+        model = model_cls(base=args.base)
     mesh = None
     if args.dp and len(jax.devices()) > 1:
         from azoom.parallel.mesh import make_mesh

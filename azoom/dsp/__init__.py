@@ -5,6 +5,8 @@ from azoom.dsp.delays import (
     steering_matrix,
     steering_vector,
 )
+from azoom.dsp.params import choose_best_stft_params, stft_reconstruct_mse
+from azoom.dsp.resample import resample_fft, resample_poly
 from azoom.dsp.stft import istft, rfft_freqs, stft, stft_frame_count
 from azoom.dsp.windows import hann
 
@@ -19,4 +21,8 @@ __all__ = [
     "stft",
     "stft_frame_count",
     "hann",
+    "choose_best_stft_params",
+    "stft_reconstruct_mse",
+    "resample_fft",
+    "resample_poly",
 ]

@@ -1,0 +1,66 @@
+"""Tests: local corpus provider (with fallback) and the BLSTM mask model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from azoom.io.wav import write_wav
+from azoom.models.blstm import BLSTMMaskNet
+from azoom.sim.datasets import LocalCorpus, get_sources
+from azoom.train.data import synth_batch
+from azoom.train.loop import create_state, make_train_step
+from azoom.config import PipelineConfig
+
+
+def test_local_corpus_sampling(tmp_path, rng):
+    for i in range(3):
+        write_wav(tmp_path / f"a/{i}.wav", rng.standard_normal(12_000) * 0.1, 16_000)
+    corpus = LocalCorpus(tmp_path)
+    assert len(corpus) == 3
+    crop = corpus.sample(np.random.default_rng(0), 8_000)
+    assert crop.shape == (8_000,)
+    batch = corpus.sample_batch(np.random.default_rng(0), 2, 20_000)
+    assert batch.shape == (2, 20_000)  # loops short files
+
+
+def test_local_corpus_resamples(tmp_path, rng):
+    write_wav(tmp_path / "x.wav", rng.standard_normal(8_000) * 0.1, 8_000)
+    corpus = LocalCorpus(tmp_path, fs=16_000)
+    crop = corpus.sample(np.random.default_rng(0), 4_000)
+    assert crop.shape == (4_000,)
+
+
+def test_get_sources_fallback_synthetic(monkeypatch):
+    monkeypatch.delenv("AZOOM_DATA_DIR", raising=False)
+    out = get_sources(2, 4_000)
+    assert out.shape == (2, 4_000)
+    assert np.isfinite(out).all()
+
+
+def test_blstm_shapes_and_range():
+    model = BLSTMMaskNet(hidden=32, n_layers=1)
+    x = jnp.zeros((2, 65, 24, 2))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(vars_, x)
+    assert y.shape == (2, 65, 24)
+    assert float(jnp.min(y)) >= 0.0 and float(jnp.max(y)) <= 1.0
+
+
+def test_blstm_unidirectional():
+    model = BLSTMMaskNet(hidden=16, n_layers=1, unidirectional=True)
+    x = jnp.ones((1, 33, 12, 2))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    assert model.apply(vars_, x).shape == (1, 33, 12)
+
+
+def test_blstm_trains():
+    cfg = PipelineConfig(mic_dist=0.04)
+    model = BLSTMMaskNet(hidden=32, n_layers=1)
+    batch = synth_batch(jax.random.PRNGKey(0), 2, cfg, n_samples=8_192)
+    state = create_state(model, jax.random.PRNGKey(1), batch["features"].shape)
+    step = make_train_step()
+    losses = []
+    for _ in range(6):
+        state, loss = step(state, batch["features"], batch["label"])
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
