@@ -43,15 +43,25 @@ def speech_like(
     k_f0, k_am1, k_am2, k_noise, k_jit = jax.random.split(key, 5)
     t = jnp.arange(n_samples, dtype=jnp.float32) / fs
 
-    # Pitch contour: smoothed random walk, +/- ~20% around f0_base.
+    # Pitch contour: smoothed random walk, +/- ~20% around f0_base. The
+    # phase integral is computed on the small control grid and linearly
+    # interpolated to sample rate (uniform grid -> direct index math, no
+    # searchsorted and no length-n cumsum: a length-n scan through the
+    # remote TPU compiler took minutes, this compiles instantly).
     n_ctrl = 64
     walk = jnp.cumsum(jax.random.normal(k_f0, (n_ctrl,)) * 0.06)
     walk = walk - jnp.mean(walk)
-    f0_ctrl = f0_base * jnp.exp(jnp.clip(walk, -0.35, 0.35))
-    f0 = jnp.interp(
-        jnp.linspace(0.0, 1.0, n_samples), jnp.linspace(0.0, 1.0, n_ctrl), f0_ctrl
-    )
-    phase0 = 2.0 * jnp.pi * jnp.cumsum(f0) / fs  # integrated instantaneous phase
+    f0_ctrl = f0_base * jnp.exp(jnp.clip(walk, -0.35, 0.35))  # (C,)
+    dt_ctrl = n_samples / fs / (n_ctrl - 1)
+    phase_ctrl = (
+        2.0 * jnp.pi * dt_ctrl * jnp.concatenate(
+            [jnp.zeros((1,)), jnp.cumsum(0.5 * (f0_ctrl[1:] + f0_ctrl[:-1]))]
+        )
+    )  # trapezoid integral of f0 on the control grid, (C,)
+    pos = jnp.arange(n_samples, dtype=jnp.float32) * ((n_ctrl - 1) / max(n_samples - 1, 1))
+    idx = jnp.clip(pos.astype(jnp.int32), 0, n_ctrl - 2)
+    frac = pos - idx
+    phase0 = phase_ctrl[idx] * (1.0 - frac) + phase_ctrl[idx + 1] * frac
 
     harmonics = jnp.arange(1, 13, dtype=jnp.float32)
     # Formant-ish envelope: emphasize ~500 Hz and ~1500 Hz regions.
