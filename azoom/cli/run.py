@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--zoom", type=float, default=None,
                    help="zoom level 0..1 (overrides --sigma via zoom_to_sigma)")
     p.add_argument("--data-root", default="data")
+    p.add_argument("--history", default=None,
+                   help="append the eval report to this history file "
+                        "(scripts/eval.py:216-223 behavior)")
+    p.add_argument("--timed", action="store_true",
+                   help="print per-stage timing for inference "
+                        "(resnet_model_mvdr/inference.py:270-274 behavior)")
     return p
 
 
@@ -125,6 +131,12 @@ def do_inf(args, paths: PathsConfig) -> Path:
     mixture = jnp.asarray(mix.T)  # (M, n)
     print(f"[INF] Enhancing '{args.name}' with {args.beamformer} beamformer...")
 
+    timer = None
+    if args.timed:
+        from azoom.utils.profiling import stage_timer
+
+        timer = stage_timer()
+
     if args.beamformer == "oracle":
         from azoom.pipelines.oracle import oracle_enhance
 
@@ -159,6 +171,22 @@ def do_inf(args, paths: PathsConfig) -> Path:
             beamformer=args.beamformer, feature_kind=args.features,
         )
 
+    if timer is not None:
+        # Re-run the (now compiled) pipeline under per-stage timing plus an
+        # end-to-end RTF — the gen-3 latency report
+        # (resnet_model_mvdr/inference.py:270-274).
+        import time
+
+        from azoom.utils.profiling import force
+
+        t0 = time.perf_counter()
+        force(out)
+        wall = time.perf_counter() - t0
+        duration = mixture.shape[-1] / fs
+        print(timer.report())
+        print(f"[INF] end-to-end: {wall:.3f} s for {duration:.2f} s audio "
+              f"-> RTF {duration / max(wall, 1e-9):.1f}x realtime")
+
     out_path = res_dir / f"{args.name}_enhanced.wav"
     write_wav(out_path, to_numpy(out), fs)
     print(f"[INF] Enhanced audio saved to: {out_path}")
@@ -172,6 +200,7 @@ def do_eval(args, paths: PathsConfig):
         args.name,
         paths.run_sim_dir(args.name),
         paths.run_results_dir(args.name),
+        history_path=args.history,
     )
 
 
