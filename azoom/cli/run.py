@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timed", action="store_true",
                    help="print per-stage timing for inference "
                         "(resnet_model_mvdr/inference.py:270-274 behavior)")
+    p.add_argument("--wpe", action="store_true",
+                   help="WPE-dereverberate the mixture before enhancement "
+                        "(resnet_model_mvdr/inference.py:282 behavior)")
     return p
 
 
@@ -104,15 +107,26 @@ def _load_model_variables(args, cfg):
         model, jax.random.PRNGKey(0), (1, cfg.n_freqs, 64, n_ch)
     )
     if args.ckpt:
-        import orbax.checkpoint as ocp
+        ckpt = Path(args.ckpt)
+        if ckpt.suffix == ".npz":  # quantized deployment artifact
+            from azoom.models.quantize import load_quantized
 
-        mngr = ocp.CheckpointManager(Path(args.ckpt).absolute())
-        step = mngr.latest_step()
-        if step is None:
-            raise FileNotFoundError(f"no checkpoint found in {args.ckpt}")
-        restored = mngr.restore(step)
-        state = jax.tree_util.tree_map(jnp.asarray, restored)
+            variables = load_quantized(ckpt)
+            print(f"[INF] Loaded quantized artifact {ckpt}")
+            return model, variables
+        from azoom.train.loop import restore_checkpoint
+
+        state, step = restore_checkpoint(ckpt, state)
         print(f"[INF] Loaded checkpoint step {step} from {args.ckpt}")
+    elif args.model == "fpu" and args.features == "logmag_ipd":
+        from azoom.models.pretrained import bundled_artifact_path, load_pretrained_fpu
+
+        if bundled_artifact_path() is not None:
+            model, variables = load_pretrained_fpu()
+            print(f"[INF] Using bundled pretrained artifact "
+                  f"{bundled_artifact_path().name}")
+            return model, variables
+        print("[INF] WARNING: no --ckpt given; using untrained weights")
     else:
         print("[INF] WARNING: no --ckpt given; using untrained weights")
     return model, {"params": state.params, "batch_stats": state.batch_stats}
@@ -129,6 +143,11 @@ def do_inf(args, paths: PathsConfig) -> Path:
     res_dir = paths.run_results_dir(args.name)
     mix, fs = read_wav(sim_dir / "mixture.wav")
     mixture = jnp.asarray(mix.T)  # (M, n)
+    if args.wpe:
+        from azoom.wpe.dereverb import wpe_dereverb
+
+        print("[INF] WPE dereverberation preprocessing...")
+        mixture = wpe_dereverb(mixture, cfg)
     print(f"[INF] Enhancing '{args.name}' with {args.beamformer} beamformer...")
 
     timer = None

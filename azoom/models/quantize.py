@@ -24,6 +24,8 @@ __all__ = [
     "dequantize_variables",
     "quantized_size_bytes",
     "quantization_error",
+    "save_quantized",
+    "load_quantized",
 ]
 
 _MIN_QUANT_SIZE = 64  # leave tiny tensors (biases, BN) in float
@@ -66,6 +68,65 @@ def quantized_size_bytes(qvariables: Any) -> int:
     for leaf in jax.tree_util.tree_leaves(qvariables):
         total += np.asarray(leaf).nbytes
     return total
+
+
+def save_quantized(path, variables: Any) -> int:
+    """Quantize a variables pytree and write it as one .npz — the compact
+    deployment artifact (the reference's .tflite analogue). Returns bytes
+    written. Keys are '/'-joined tree paths."""
+    import os
+
+    q = quantize_variables(variables)
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict) and set(node) == {"q", "scale"}:
+            flat[prefix + "/__q__"] = np.asarray(node["q"])
+            flat[prefix + "/__scale__"] = np.asarray(node["scale"])
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", q)
+    path = os.fspath(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **flat)
+    return os.path.getsize(path)
+
+
+def load_quantized(path, dtype=jnp.float32) -> Any:
+    """Load a save_quantized artifact back into a dequantized float
+    variables pytree ready for model.apply."""
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        if parts[-1] in ("__q__", "__scale__"):
+            node_parts, leaf = parts[:-1], parts[-1]
+        else:
+            node_parts, leaf = parts[:-1], parts[-1]
+        cur = tree
+        for p in node_parts:
+            cur = cur.setdefault(p, {})
+        if leaf == "__q__":
+            cur.setdefault("__qpair__", {})["q"] = data[key]
+        elif leaf == "__scale__":
+            cur.setdefault("__qpair__", {})["scale"] = data[key]
+        else:
+            cur[leaf] = jnp.asarray(data[key])
+
+    def resolve(node):
+        if isinstance(node, dict):
+            if set(node) == {"__qpair__"}:
+                pair = node["__qpair__"]
+                return (jnp.asarray(pair["q"]).astype(jnp.float32)
+                        * jnp.asarray(pair["scale"])).astype(dtype)
+            return {k: resolve(v) for k, v in node.items()}
+        return node
+
+    return resolve(tree)
 
 
 def quantization_error(variables: Any, qvariables: Any) -> float:

@@ -170,10 +170,28 @@ def fit(
     return FitResult(state=state, losses=losses, steps_run=n_steps - start_step)
 
 
-def _abstract(tree):
+def _abstract(tree, device=None):
+    """ShapeDtypeStructs with an explicit single-device sharding so orbax
+    restores cleanly even when the checkpoint was written on a different
+    backend (TPU-written -> CPU-restored and vice versa)."""
+    sharding = jax.sharding.SingleDeviceSharding(device or jax.devices()[0])
     return jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), tree
+        lambda x: jax.ShapeDtypeStruct(
+            jnp.shape(x), jnp.result_type(x), sharding=sharding
+        ),
+        tree,
     )
+
+
+def restore_checkpoint(checkpoint_dir, state_template, step: int | None = None):
+    """Restore a TrainState from an orbax CheckpointManager directory onto
+    the current default device. Returns (state, step)."""
+    import orbax.checkpoint as ocp
+
+    mngr = ocp.CheckpointManager(Path(checkpoint_dir).absolute())
+    step = int(mngr.latest_step()) if step is None else step
+    restored = mngr.restore(step, args=ocp.args.StandardRestore(_abstract(state_template)))
+    return jax.tree_util.tree_map(jnp.asarray, restored), step
 
 
 def mask_accuracy(pred: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:

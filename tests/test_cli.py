@@ -80,3 +80,23 @@ def test_debug_srp_cli(workdir):
     assert r.returncode == 0, r.stderr[-2000:]
     assert (outdir / "srp_scan.png").exists()
     assert "peak response" in r.stdout
+
+
+def test_learned_inference_with_bundled_artifact(workdir):
+    """inf with the bundled pretrained int8 artifact (no --ckpt)."""
+    from azoom.models.pretrained import bundled_artifact_path
+
+    if bundled_artifact_path() is None:
+        import pytest
+
+        pytest.skip("bundled artifact absent")
+    r = _run(
+        ["azoom.cli.run", "inf", "--name", "smoke", "--beamformer", "mvdr"],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "bundled pretrained artifact" in r.stdout
+    out = workdir / "data/results/smoke_results/smoke_enhanced.wav"
+    assert out.exists()
+    r2 = _run(["azoom.cli.diagnose", str(out)], workdir)
+    assert r2.returncode == 0, r2.stdout

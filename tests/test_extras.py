@@ -104,3 +104,17 @@ def test_profiling_helpers(rng):
     with st.stage("dummy"):
         _ = f(x)
     assert "dummy" in st.report()
+
+
+def test_quantized_save_load_roundtrip(tmp_path):
+    from azoom.models.quantize import load_quantized, save_quantized
+
+    model = FreqPreservingUNet(base=4)
+    x = jnp.zeros((1, 64, 16, 2))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    nbytes = save_quantized(tmp_path / "m.npz", variables)
+    assert nbytes > 0
+    restored = load_quantized(tmp_path / "m.npz")
+    y1 = model.apply(variables, x)
+    y2 = model.apply(restored, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=5e-2)
