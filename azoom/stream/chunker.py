@@ -24,7 +24,12 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["chunk_signal", "overlap_add_chunks", "streaming_enhance"]
+__all__ = [
+    "chunk_signal",
+    "overlap_add_chunks",
+    "streaming_enhance",
+    "streaming_enhance_sharded",
+]
 
 
 def chunk_signal(x: jnp.ndarray, win_size: int, hop: int) -> tuple[jnp.ndarray, int]:
@@ -106,4 +111,37 @@ def streaming_enhance(
     """
     chunks, n = chunk_signal(mixture, win_size, hop)  # (C, M, W)
     processed = jax.vmap(process_fn)(chunks)  # (C, W)
+    return overlap_add_chunks(processed, hop, n)
+
+
+def streaming_enhance_sharded(
+    mixture: jnp.ndarray,
+    process_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    mesh,
+    win_size: int = 32_000,
+    hop: int = 16_000,
+    axis_name: str = "chunk",
+) -> jnp.ndarray:
+    """Sequence-parallel streaming: the chunk axis of ONE long recording is
+    sharded over the mesh, so each device enhances a contiguous run of 2 s
+    windows (SURVEY.md §5's "sequence parallelism to generalize on TPU").
+    Each chunk already carries its window's overlap (the 50% OLA hop), so
+    no explicit halo exchange is needed beyond the sharded framing; the
+    final overlap-add gathers device results.
+
+    Produces outputs identical to :func:`streaming_enhance` (chunk
+    covariances are chunk-local).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    chunks, n = chunk_signal(mixture, win_size, hop)
+    pad = (-chunks.shape[0]) % mesh.devices.size
+    if pad:
+        chunks = jnp.concatenate(
+            [chunks, jnp.zeros((pad,) + chunks.shape[1:], chunks.dtype)]
+        )
+    chunks = jax.device_put(chunks, NamedSharding(mesh, P(axis_name)))
+    processed = jax.jit(jax.vmap(process_fn))(chunks)
+    if pad:
+        processed = processed[:-pad]
     return overlap_add_chunks(processed, hop, n)

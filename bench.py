@@ -59,6 +59,8 @@ def main():
     # ~100s of ms. So the iteration loop runs INSIDE one jit with a data
     # dependence between iterations, and completion is forced by fetching
     # a scalar reduction (see azoom.utils.profiling).
+    use_pallas = jax.default_backend() == "tpu"
+
     @jax.jit
     def bench_loop(mix, variables):
         def body(i, carry):
@@ -66,6 +68,7 @@ def main():
             return learned_enhance(
                 perturbed, model, variables, cfg,
                 beamformer="mvdr", feature_kind="physics",
+                use_pallas=use_pallas,
             )
 
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((batch, n)))

@@ -62,3 +62,19 @@ def test_sharded_chunk_processing(devices8):
     processed = jax.jit(jax.vmap(process))(sharded_chunks)
     out = overlap_add_chunks(processed, 16_000, n)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x[0] * 2.0), atol=1e-5)
+
+
+def test_streaming_enhance_sharded_matches(devices8):
+    """Sharded streaming equals single-device streaming exactly."""
+    from azoom.stream.chunker import streaming_enhance, streaming_enhance_sharded
+
+    mesh = make_mesh(8, axis_name="chunk")
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 100_000)), jnp.float32)
+
+    def process(c):
+        return c[0] * 0.5 + c[1] * 0.5
+
+    ref = streaming_enhance(x, process, 32_000, 16_000)
+    shd = streaming_enhance_sharded(x, process, mesh, 32_000, 16_000)
+    np.testing.assert_allclose(np.asarray(shd), np.asarray(ref), atol=1e-6)
