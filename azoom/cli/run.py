@@ -90,6 +90,12 @@ def do_sim(args, paths: PathsConfig) -> Path:
     write_wav(outdir / "mixture.wav", to_numpy(sc["mixture"]).T, fs)
     write_wav(outdir / "target.wav", to_numpy(sc["target_stereo"]).T, fs)
     write_wav(outdir / "interference.wav", to_numpy(sc["interference_stereo"]).T, fs)
+    # Per-run provenance record (world.py:265-268 info.txt behavior).
+    (outdir / "info.txt").write_text(
+        f"run: {args.name}\nreverb: {spec.reverb}\n"
+        f"n_interferers: {spec.n_interferers}\nsnr_db: {spec.snr_db}\n"
+        f"duration_s: {spec.duration_s}\nfs: {spec.fs}\nseed: {args.seed}\n"
+    )
     print(f"[SIM] Files saved to: {outdir}")
     return outdir
 

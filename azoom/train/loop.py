@@ -58,18 +58,28 @@ def create_state(
     )
 
 
-def make_train_step(mesh: jax.sharding.Mesh | None = None) -> Callable:
+def make_train_step(
+    mesh: jax.sharding.Mesh | None = None, remat: bool = False
+) -> Callable:
     """Build the jitted train step; with a mesh, batch dims are sharded over
-    the 'data' axis and XLA inserts the gradient all-reduce."""
+    the 'data' axis and XLA inserts the gradient all-reduce. ``remat``
+    rematerializes the forward pass in the backward (jax.checkpoint),
+    trading FLOPs for HBM so larger batches fit per chip."""
 
     def step(state: TrainState, features: jnp.ndarray, label: jnp.ndarray):
-        def loss_fn(params):
-            pred, mutated = state.apply_fn(
+        def forward(params, features):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 features,
                 train=True,
                 mutable=["batch_stats"],
             )
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            pred, mutated = forward(params, features)
             return bce_loss(pred, label), mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -113,6 +123,7 @@ def fit(
     checkpoint_every: int = 200,
     resume: bool = True,
     mesh: jax.sharding.Mesh | None = None,
+    remat: bool = False,
     log_every: int = 50,
     log_fn: Callable[[str], None] = print,
 ) -> FitResult:
@@ -151,7 +162,7 @@ def fit(
             state = jax.tree_util.tree_map(jnp.asarray, restored)
             log_fn(f"[TRAIN] resumed from step {start_step}")
 
-    train_step = make_train_step(mesh)
+    train_step = make_train_step(mesh, remat=remat)
     losses = []
     key = jax.random.PRNGKey(seed + 1)
     for i in range(start_step, n_steps):

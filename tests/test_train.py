@@ -83,3 +83,16 @@ def test_data_parallel_train_step(devices8):
     # Sharded result must match the unsharded step numerically.
     state3, loss3 = make_train_step()(state, batch["features"], batch["label"])
     np.testing.assert_allclose(float(loss), float(loss3), rtol=1e-5)
+
+
+def test_remat_train_step_matches():
+    model = FreqPreservingUNet(base=2)
+    batch = synth_batch(jax.random.PRNGKey(5), 2, CFG, n_samples=SMALL_N)
+    state = create_state(model, jax.random.PRNGKey(0), batch["features"].shape)
+    s1, l1 = make_train_step()(state, batch["features"], batch["label"])
+    s2, l2 = make_train_step(remat=True)(state, batch["features"], batch["label"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
