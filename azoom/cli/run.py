@@ -124,13 +124,21 @@ def _load_model_variables(args, cfg):
 
         state, step = restore_checkpoint(ckpt, state)
         print(f"[INF] Loaded checkpoint step {step} from {args.ckpt}")
-    elif args.model == "fpu" and args.features == "logmag_ipd":
-        from azoom.models.pretrained import bundled_artifact_path, load_pretrained_fpu
+    elif (args.model, args.features) in (
+        ("fpu", "logmag_ipd"), ("deepfpu", "physics")
+    ):
+        from azoom.models.pretrained import (
+            bundled_artifact_path,
+            load_pretrained_deepfpu,
+            load_pretrained_fpu,
+        )
 
-        if bundled_artifact_path() is not None:
-            model, variables = load_pretrained_fpu()
+        if bundled_artifact_path(args.model) is not None:
+            loader = (load_pretrained_fpu if args.model == "fpu"
+                      else load_pretrained_deepfpu)
+            model, variables = loader()
             print(f"[INF] Using bundled pretrained artifact "
-                  f"{bundled_artifact_path().name}")
+                  f"{bundled_artifact_path(args.model).name}")
             return model, variables
         print("[INF] WARNING: no --ckpt given; using untrained weights")
     else:

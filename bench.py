@@ -42,8 +42,10 @@ def main():
     cfg = PipelineConfig(mic_dist=0.04)
     fs = cfg.fs
 
-    # Flagship model at production size (DeepFPU base=32, 4-ch physics).
-    model = DeepFPU(base=32)
+    # Flagship model at production size (DeepFPU base=32, 4-ch physics),
+    # bf16 activations: convs hit the MXU at full throughput; the output
+    # head and all beamforming math stay f32.
+    model = DeepFPU(base=32, dtype=jnp.bfloat16)
     probe = synth_batch(jax.random.PRNGKey(0), 1, cfg, "physics", cfg.win_size)
     state = create_state(model, jax.random.PRNGKey(0), probe["features"].shape)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
