@@ -34,9 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--beamformer", default="oracle",
-        choices=["oracle", "mvdr", "hard_null", "gev"],
-        help="oracle = answer-key IBM (no model); others need --ckpt",
+        choices=["oracle", "mvdr", "hard_null", "gev", "maxsnr_fov"],
+        help="oracle = answer-key IBM (no model); gev = oracle-mask GEV; "
+             "maxsnr_fov = blind FOV-constrained max-SNR; mvdr/hard_null "
+             "use the learned mask (--ckpt or bundled artifact)",
     )
+    p.add_argument("--fov", type=float, default=10.0,
+                   help="field-of-view width (deg) for maxsnr_fov")
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir (trained model)")
     p.add_argument("--model", default="fpu", choices=["fpu", "deepfpu"])
     p.add_argument("--features", default="logmag_ipd", choices=["logmag_ipd", "physics"])
@@ -195,6 +199,24 @@ def do_inf(args, paths: PathsConfig) -> Path:
         m = ibm_target_mask(S_t, S_i)
         out = istft(gev_beamform(Y, m) * m, cfg.n_fft, cfg.hop,
                     length=mixture.shape[-1])
+    elif args.beamformer == "maxsnr_fov":
+        import jax.numpy as jnp
+
+        from azoom.beam.gev import max_snr_fov_beamform
+        from azoom.dsp.delays import far_field_delays
+        from azoom.dsp.stft import istft, rfft_freqs, stft
+        from azoom.masks.geometric import ipd_deviation_noise_mask
+
+        Y = stft(mixture, cfg.n_fft, cfg.hop)
+        freqs = rfft_freqs(cfg.n_fft, cfg.fs)
+        tau = far_field_delays(cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
+        expected_ipd = -2.0 * jnp.pi * freqs * (tau[0] - tau[1])
+        noise_mask = ipd_deviation_noise_mask(Y, expected_ipd)
+        S = max_snr_fov_beamform(
+            Y, noise_mask, freqs, cfg.angle_target_deg, args.fov,
+            cfg.mic_dist, cfg.c, cfg.sigma,
+        )
+        out = istft(S, cfg.n_fft, cfg.hop, length=mixture.shape[-1])
     else:
         from azoom.pipelines.learned import learned_enhance_streaming
 

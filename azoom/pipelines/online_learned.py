@@ -1,0 +1,61 @@
+"""Frame-latency learned enhancement: causal mask net + online MVDR.
+
+The reference's lowest-latency mode is a 2 s chunk (1 s algorithmic
+latency); its roadmap targets lower latency via model changes (TODO:6,
+TODO:10 RNN models). This pipeline delivers it: a *unidirectional* BLSTM
+mask estimator (causal by construction — frame t sees only frames <= t)
+feeds the recursive-covariance online MVDR (azoom.stream.online), so the
+whole system has one STFT hop (32 ms) of algorithmic latency.
+
+Offline this runs as one jitted program over the full STFT (the causal
+structure is in the ops, not the loop); a deployment would carry the LSTM
+carry + covariance state across arriving frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from azoom.config import PipelineConfig
+from azoom.dsp.delays import steering_vector
+from azoom.dsp.stft import istft, rfft_freqs, stft
+from azoom.masks.features import logmag_ipd_features
+from azoom.stream.online import online_masked_mvdr
+
+__all__ = ["online_learned_enhance"]
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "length"))
+def online_learned_enhance(
+    mixture: jnp.ndarray,
+    model,
+    variables: Any,
+    cfg: PipelineConfig,
+    forget: float = 0.98,
+    mask_floor: float = 0.05,
+    length: int | None = None,
+) -> jnp.ndarray:
+    """Causally enhance (M, n) -> (n,) with a causal mask model.
+
+    ``model`` must be causal along the time axis (e.g.
+    BLSTMMaskNet(unidirectional=True)); the covariance/beamforming side is
+    guaranteed causal by online_masked_mvdr.
+    """
+    n = mixture.shape[-1]
+    length = n if length is None else length
+
+    Y = stft(mixture, cfg.n_fft, cfg.hop)  # (M, F, T)
+    feats = logmag_ipd_features(Y)[None]  # (1, F, T, C)
+    tgt_mask = model.apply(variables, feats)[0]  # (F, T)
+
+    freqs = rfft_freqs(cfg.n_fft, cfg.fs)
+    d = steering_vector(freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
+    S = online_masked_mvdr(
+        Y, 1.0 - tgt_mask, d, freqs, cfg.sigma, cfg.hp_cutoff_hz, forget
+    )
+    S = S * jnp.maximum(tgt_mask, mask_floor)
+    return istft(S, cfg.n_fft, cfg.hop, length=length)

@@ -100,3 +100,14 @@ def test_learned_inference_with_bundled_artifact(workdir):
     assert out.exists()
     r2 = _run(["azoom.cli.diagnose", str(out)], workdir)
     assert r2.returncode == 0, r2.stdout
+
+
+def test_maxsnr_fov_cli(workdir):
+    r = _run(
+        ["azoom.cli.run", "inf", "--name", "smoke", "--beamformer",
+         "maxsnr_fov", "--fov", "10"],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = workdir / "data/results/smoke_results/smoke_enhanced.wav"
+    assert out.exists()

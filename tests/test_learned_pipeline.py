@@ -77,3 +77,32 @@ def test_short_training_learns_mask():
     pred = model.apply(variables, held["features"])
     acc = float(mask_accuracy(pred, held["label"]))
     assert acc > 0.6, f"mask accuracy {acc:.3f} not better than chance"
+
+
+def test_online_learned_enhance_runs():
+    """Frame-latency pipeline: causal BLSTM + online MVDR, trained briefly
+    — must improve SIR causally."""
+    from azoom.models.blstm import BLSTMMaskNet
+    from azoom.pipelines.online_learned import online_learned_enhance
+    from azoom.sim.farfield import make_scene
+    from azoom.sim.signals import speech_like_batch
+    from azoom.eval.projection import osinr_osir
+
+    model = BLSTMMaskNet(hidden=32, n_layers=1, unidirectional=True)
+    batch = synth_batch(jax.random.PRNGKey(0), 2, CFG, n_samples=8_192)
+    state = create_state(model, jax.random.PRNGKey(1), batch["features"].shape)
+    step = make_train_step()
+    for i in range(25):
+        b = synth_batch(jax.random.fold_in(jax.random.PRNGKey(9), i), 2, CFG,
+                        n_samples=8_192)
+        state, _ = step(state, b["features"], b["label"])
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    sigs = speech_like_batch(jax.random.PRNGKey(31), 3, N, CFG.fs)
+    sc = make_scene(sigs[0], sigs[1:], 90.0, jnp.array([40.0, 130.0]),
+                    CFG.mic_dist, CFG.fs)
+    out = online_learned_enhance(sc["mixture"], model, variables, CFG)
+    assert out.shape == (N,)
+    _, so = osinr_osir(out, sc["target_ref"], sc["interference_ref"])
+    _, si = osinr_osir(sc["mixture"][0], sc["target_ref"], sc["interference_ref"])
+    assert float(so) - float(si) > 3.0
