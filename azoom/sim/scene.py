@@ -19,13 +19,10 @@ persistence. Batched scene generation = vmap over keys.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 
 from azoom.config import RoomConfig
-from azoom.sim.farfield import make_scene as make_farfield_scene
 from azoom.sim.room import fft_convolve, inverse_sabine, rir_matrix
 from azoom.sim.signals import speech_like
 

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from azoom.config import PipelineConfig, RoomConfig
+from azoom.config import PipelineConfig
 from azoom.dsp.stft import rfft_freqs, stft
 from azoom.eval.reports import append_to_csv, compute_run_metrics, format_report
 from azoom.eval.stoi import stoi

@@ -5,7 +5,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from azoom.beam.covariance import masked_covariance
 from azoom.beam.gev import (
     eig_principal_2x2,
     fov_target_covariance,
@@ -19,7 +18,7 @@ from azoom.beam.linalg2x2 import (
     solve_2x2_hermitian,
 )
 from azoom.beam.nullsteer import hybrid_hard_null_beamform
-from azoom.beam.zoom import beam_pattern, beamwidth_3db, sigma_vs_beamwidth, zoom_to_sigma
+from azoom.beam.zoom import beam_pattern, sigma_vs_beamwidth, zoom_to_sigma
 from azoom.beam.mvdr import mvdr_weights
 from azoom.config import PipelineConfig
 from azoom.dsp.delays import steering_vector

@@ -1,13 +1,11 @@
 """CLI end-to-end tests: the full sim|inf|eval product path in a tmp dir,
 batch sweep CSV, analyze plots, diagnose, dereverb, debug_srp."""
 
-import json
 import os
 import subprocess
 import sys
 from pathlib import Path
 
-import numpy as np
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from azoom.config import PipelineConfig, RoomConfig
+from azoom.config import PipelineConfig
 from azoom.eval.projection import osinr_osir
 from azoom.pipelines.oracle import oracle_enhance
 from azoom.sim.room import fft_convolve, inverse_sabine, rir_matrix, shoebox_rir

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from azoom.config import PipelineConfig
-from azoom.dsp.stft import rfft_freqs, stft
+from azoom.dsp.stft import stft
 from azoom.eval.projection import osinr_osir
 from azoom.masks.oracle import ibm_noise_mask
 from azoom.pipelines.oracle import oracle_enhance
