@@ -50,7 +50,7 @@ def main():
     state = create_state(model, jax.random.PRNGKey(0), probe["features"].shape)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    batch = 32          # parallel 2 s chunks per step
+    batch = 128         # parallel 2 s chunks per step (throughput knee on v5e)
     n = cfg.win_size    # 32000 samples = 2 s per chunk
     iters = 10
     rng = np.random.default_rng(0)
@@ -89,12 +89,31 @@ def main():
     frames_per_sec = iters * batch * frames_per_chunk / dt
 
     # Oracle-SIR parity check on the same device (BASELINE: 36.24 dB ref).
-    sigs = speech_like_batch(jax.random.PRNGKey(7), 3, n, fs)
-    sc = make_scene(
-        sigs[0], sigs[1:], 90.0, jnp.asarray([40.0, 130.0]), cfg.mic_dist, fs
-    )
-    enh = oracle_enhance(sc["mixture"], sc["target_ref"], sc["interference_ref"], cfg)
-    _, sir = osinr_osir(enh, sc["target_ref"], sc["interference_ref"])
+    # Preferred: the reference repo's own committed real-speech fixture
+    # (36.06 dB measured); fallback: synthetic speech-like scene.
+    from pathlib import Path
+
+    ref_inputs = Path("/root/reference/data/inputs")
+    if (ref_inputs / "test_mixture.wav").exists():
+        from azoom.io.wav import read_wav
+
+        mix_w, _ = read_wav(ref_inputs / "test_mixture.wav")
+        tgt_w, _ = read_wav(ref_inputs / "test_target_ref.wav")
+        itf_w, _ = read_wav(ref_inputs / "test_interferer_ref.wav")
+        gen1 = PipelineConfig(n_fft=512, hop=256, mic_dist=0.01, sigma=1e-9)
+        enh = oracle_enhance(
+            jnp.asarray(mix_w.T), jnp.asarray(tgt_w), jnp.asarray(itf_w), gen1
+        )
+        _, sir = osinr_osir(enh, jnp.asarray(tgt_w), jnp.asarray(itf_w))
+    else:
+        sigs = speech_like_batch(jax.random.PRNGKey(7), 3, n, fs)
+        sc = make_scene(
+            sigs[0], sigs[1:], 90.0, jnp.asarray([40.0, 130.0]), cfg.mic_dist, fs
+        )
+        enh = oracle_enhance(
+            sc["mixture"], sc["target_ref"], sc["interference_ref"], cfg
+        )
+        _, sir = osinr_osir(enh, sc["target_ref"], sc["interference_ref"])
 
     print(
         json.dumps(
