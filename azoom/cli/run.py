@@ -34,10 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--beamformer", default="oracle",
-        choices=["oracle", "mvdr", "hard_null", "gev", "maxsnr_fov"],
+        choices=["oracle", "mvdr", "hard_null", "gev", "maxsnr_fov", "autosteer"],
         help="oracle = answer-key IBM (no model); gev = oracle-mask GEV; "
-             "maxsnr_fov = blind FOV-constrained max-SNR; mvdr/hard_null "
-             "use the learned mask (--ckpt or bundled artifact)",
+             "maxsnr_fov = blind FOV-constrained max-SNR; autosteer = blind "
+             "localize-in-FOV + steered MVDR; mvdr/hard_null use the "
+             "learned mask (--ckpt or bundled artifact)",
     )
     p.add_argument("--fov", type=float, default=10.0,
                    help="field-of-view width (deg) for maxsnr_fov")
@@ -199,6 +200,13 @@ def do_inf(args, paths: PathsConfig) -> Path:
         m = ibm_target_mask(S_t, S_i)
         out = istft(gev_beamform(Y, m) * m, cfg.n_fft, cfg.hop,
                     length=mixture.shape[-1])
+    elif args.beamformer == "autosteer":
+        from azoom.pipelines.autosteer import autosteer_enhance
+
+        out, theta = autosteer_enhance(
+            mixture, cfg, fov_center_deg=args.angle, fov_width_deg=args.fov
+        )
+        print(f"[INF] autosteer locked onto {float(theta):.1f} deg")
     elif args.beamformer == "maxsnr_fov":
         import jax.numpy as jnp
 

@@ -109,3 +109,26 @@ def test_maxsnr_fov_cli(workdir):
     assert r.returncode == 0, r.stderr[-2000:]
     out = workdir / "data/results/smoke_results/smoke_enhanced.wav"
     assert out.exists()
+
+
+def test_autosteer_cli(workdir):
+    r = _run(
+        ["azoom.cli.run", "inf", "--name", "smoke", "--beamformer",
+         "autosteer", "--fov", "60"],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "autosteer locked onto" in r.stdout
+
+
+def test_plot_eval_cli(workdir):
+    ref = workdir / "data/simulated/smoke/target.wav"
+    deg = workdir / "data/results/smoke_results/smoke_enhanced.wav"
+    out = workdir / "cmp.png"
+    r = _run(
+        ["azoom.cli.plot_eval", str(ref), str(deg), "--out", str(out)],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "STOI:" in r.stdout
+    assert out.exists()
