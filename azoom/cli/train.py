@@ -20,6 +20,8 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--base", type=int, default=32, help="base channel width")
     p.add_argument("--seconds", type=float, default=2.0, help="crop length")
+    p.add_argument("--reverb", action="store_true",
+                   help="train on room-acoustics (image-source RIR) scenes")
     p.add_argument("--ckpt", default="checkpoints/mask_estimator")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -54,6 +56,7 @@ def main(argv=None):
         learning_rate=args.lr,
         feature_kind=args.features,
         n_samples=int(args.seconds * cfg.fs),
+        reverb=args.reverb,
         seed=args.seed,
         checkpoint_dir=args.ckpt,
         resume=not args.no_resume,

@@ -32,7 +32,10 @@ TRAIN_ANGLES = (90.0, 40.0, 130.0)  # target, int1, int2 (model_training.py:66)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("batch_size", "cfg", "feature_kind", "n_samples", "pad_multiple"),
+    static_argnames=(
+        "batch_size", "cfg", "feature_kind", "n_samples", "pad_multiple",
+        "reverb", "reverb_max_order",
+    ),
 )
 def synth_batch(
     key: jax.Array,
@@ -42,6 +45,8 @@ def synth_batch(
     n_samples: int = 32_000,
     angle_jitter_deg: float = 0.0,
     pad_multiple: int = 16,
+    reverb: bool = False,
+    reverb_max_order: int = 5,
 ) -> dict:
     """One training batch, fully on device.
 
@@ -63,17 +68,30 @@ def synth_batch(
         tgt = speech_like(k_t, n_samples, cfg.fs, f0s[0])
         i1 = speech_like(k_i1, n_samples, cfg.fs, f0s[1])
         i2 = speech_like(k_i2, n_samples, cfg.fs, f0s[2])
-        angles = jnp.asarray(TRAIN_ANGLES) + angle_jitter_deg * jax.random.uniform(
-            k_a, (3,), minval=-1.0, maxval=1.0
-        )
-        sc = make_scene(
-            tgt,
-            jnp.stack([i1, i2]),
-            angles[0],
-            angles[1:],
-            cfg.mic_dist,
-            cfg.fs,
-        )
+        if reverb:
+            # Room-acoustics training scenes (image-source RIRs) — goes
+            # beyond the reference, which trains anechoic-only
+            # (model_training.py:66-77) and meets reverb only at inference.
+            from azoom.config import RoomConfig
+            from azoom.sim.scene import simulate_room_scene
+
+            sc = simulate_room_scene(
+                k_a, tgt, jnp.stack([i1, i2]), RoomConfig(),
+                reverb=True, snr_db=50.0, fs=cfg.fs,
+                max_order=reverb_max_order,
+            )
+        else:
+            angles = jnp.asarray(TRAIN_ANGLES) + angle_jitter_deg * jax.random.uniform(
+                k_a, (3,), minval=-1.0, maxval=1.0
+            )
+            sc = make_scene(
+                tgt,
+                jnp.stack([i1, i2]),
+                angles[0],
+                angles[1:],
+                cfg.mic_dist,
+                cfg.fs,
+            )
         return sc["mixture"], sc["target_ref"], sc["interference_ref"]
 
     mix, tgt_ref, int_ref = jax.vmap(one)(keys)

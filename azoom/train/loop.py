@@ -118,6 +118,7 @@ def fit(
     learning_rate: float = 1e-4,
     feature_kind: str = "logmag_ipd",
     n_samples: int = 32_000,
+    reverb: bool = False,
     seed: int = 0,
     checkpoint_dir: str | Path | None = None,
     checkpoint_every: int = 200,
@@ -167,7 +168,9 @@ def fit(
     key = jax.random.PRNGKey(seed + 1)
     for i in range(start_step, n_steps):
         batch_key = jax.random.fold_in(key, i)
-        batch = synth_batch(batch_key, batch_size, cfg, feature_kind, n_samples)
+        batch = synth_batch(
+            batch_key, batch_size, cfg, feature_kind, n_samples, reverb=reverb
+        )
         state, loss = train_step(state, batch["features"], batch["label"])
         if (i + 1) % log_every == 0 or i == start_step:
             losses.append((i + 1, float(loss)))

@@ -98,3 +98,25 @@ def test_oracle_batched(scene):
         scene["mixture"], scene["target_ref"], scene["interference_ref"], CFG
     )
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(single), atol=1e-5)
+
+
+def test_oracle_breaks_dof_limit_four_interferers():
+    """A 2-mic array has M-1=1 spatial DoF, yet masked MVDR must still
+    strongly suppress FOUR interferers (readme.md:19-23's central claim,
+    BASELINE config 3: 'N-interferer mixtures breaking the M-1 DoF limit')."""
+    sigs = speech_like_batch(jax.random.PRNGKey(17), 5, N, CFG.fs)
+    sc = make_scene(
+        target=sigs[0],
+        interferers=sigs[1:],
+        target_angle_deg=90.0,
+        interferer_angles_deg=jnp.array([30.0, 60.0, 120.0, 150.0]),
+        mic_dist=CFG.mic_dist,
+        fs=CFG.fs,
+    )
+    out = oracle_enhance(
+        sc["mixture"], sc["target_ref"], sc["interference_ref"], CFG
+    )
+    imp = sir_improvement_db(
+        out, sc["mixture"][0], sc["target_ref"], sc["interference_ref"]
+    )
+    assert float(imp) > 15.0, f"4-interferer oracle improvement {float(imp):.2f} dB"

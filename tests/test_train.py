@@ -96,3 +96,16 @@ def test_remat_train_step_matches():
     p2 = jax.tree_util.tree_leaves(s2.params)
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_synth_batch_reverb_mode():
+    b = synth_batch(
+        jax.random.PRNGKey(7), 2, CFG, n_samples=SMALL_N, reverb=True,
+        reverb_max_order=3,
+    )
+    assert b["features"].shape[0] == 2
+    assert np.isfinite(np.asarray(b["features"])).all()
+    assert set(np.unique(np.asarray(b["label"]))) <= {0.0, 1.0}
+    # Reverb mixtures must differ from the anechoic ones for the same key.
+    b0 = synth_batch(jax.random.PRNGKey(7), 2, CFG, n_samples=SMALL_N)
+    assert not np.allclose(np.asarray(b["mixture"]), np.asarray(b0["mixture"]))
