@@ -50,9 +50,11 @@ class PipelineConfig:
     @property
     def frames_per_chunk(self) -> int:
         """STFT frames produced for one win_size chunk (scipy conventions:
-        zero `boundary` extension of n_fft//2 each side, then padded)."""
-        n = self.win_size + self.n_fft  # boundary extension both sides
-        return (n - self.n_fft) // self.hop + 1
+        zero `boundary` extension of n_fft//2 each side, then tail-padded
+        to a whole number of hops — matches azoom.dsp.stft.stft_frame_count)."""
+        ext = self.win_size + 2 * (self.n_fft // 2)
+        n_add = (-(ext - self.n_fft)) % self.hop
+        return (ext + n_add - self.n_fft) // self.hop + 1
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

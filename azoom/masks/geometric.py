@@ -41,5 +41,8 @@ def ipd_deviation_noise_mask(
     """Soft geometric mask from deviation against an expected per-bin IPD
     (e.g. a steered non-broadside target): sigmoid-shaped in the wrapped
     phase distance. Generalizes the hard mask to arbitrary steering angles."""
-    dev = jnp.angle(jnp.exp(1j * (ipd(Y) - expected_ipd[..., :, None])))
+    diff = ipd(Y) - expected_ipd[..., :, None]
+    # Wrap to (-pi, pi] without complex math (eager complex exp is
+    # unimplemented on some TPU runtimes).
+    dev = jnp.mod(diff + jnp.pi, 2.0 * jnp.pi) - jnp.pi
     return jnp.clip(jnp.abs(dev) / (width * jnp.pi), 0.0, 1.0).astype(jnp.float32)

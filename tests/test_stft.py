@@ -53,3 +53,12 @@ def test_round_trip_reconstruction(rng):
 def test_rfft_freqs():
     f = np.asarray(rfft_freqs(1024, FS))
     np.testing.assert_allclose(f, np.fft.rfftfreq(1024, 1 / FS))
+
+
+def test_config_frames_per_chunk_matches_stft():
+    from azoom.config import DEFAULT, GEN1
+
+    for cfg in (DEFAULT, GEN1):
+        assert cfg.frames_per_chunk == stft_frame_count(
+            cfg.win_size, cfg.n_fft, cfg.hop
+        )
