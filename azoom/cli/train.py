@@ -22,6 +22,8 @@ def main(argv=None):
     p.add_argument("--seconds", type=float, default=2.0, help="crop length")
     p.add_argument("--reverb", action="store_true",
                    help="train on room-acoustics (image-source RIR) scenes")
+    p.add_argument("--causal", action="store_true",
+                   help="blstm only: unidirectional (streaming frame-latency)")
     p.add_argument("--ckpt", default="checkpoints/mask_estimator")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -37,7 +39,7 @@ def main(argv=None):
 
     cfg = DEFAULT.replace(mic_dist=0.04)
     if args.model == "blstm":
-        model = BLSTMMaskNet(hidden=8 * args.base)
+        model = BLSTMMaskNet(hidden=8 * args.base, unidirectional=args.causal)
     else:
         model_cls = FreqPreservingUNet if args.model == "fpu" else DeepFPU
         model = model_cls(base=args.base)
