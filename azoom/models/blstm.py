@@ -33,6 +33,9 @@ class BLSTMMaskNet(nn.Module):
     def __call__(self, x, train: bool = False):  # train kept for API parity
         B, F, T, C = x.shape
         h = jnp.transpose(x, (0, 2, 1, 3)).reshape(B, T, F * C).astype(self.dtype)
+        # Input conditioning: raw log-magnitude spans ~[-16, 0] which stalls
+        # tanh/LSTM gates (the conv models get this from their BatchNorms).
+        h = nn.LayerNorm(dtype=self.dtype)(h)
         h = nn.Dense(self.hidden, dtype=self.dtype)(h)
         h = nn.tanh(h)
 

@@ -118,3 +118,15 @@ def test_quantized_save_load_roundtrip(tmp_path):
     y1 = model.apply(variables, x)
     y2 = model.apply(restored, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=5e-2)
+
+
+def test_flops_counter():
+    from azoom.utils.flops import compiled_flops, roofline_report
+
+    f = lambda a, b: a @ b
+    x = jnp.zeros((128, 128), jnp.float32)
+    flops = compiled_flops(f, x, x)
+    # XLA counts 2*M*N*K FLOPs for a matmul (or 0 if unsupported backend).
+    assert flops == 0.0 or abs(flops - 2 * 128**3) / (2 * 128**3) < 0.1
+    rep = roofline_report(f, (x, x), measured_seconds=1e-3)
+    assert "achieved_tflops" in rep and rep["measured_s"] == 1e-3
