@@ -100,11 +100,11 @@ def sharded_sweep(
         )
     shard = NamedSharding(mesh, P(axis_name))
 
-    out = jax.jit(
+    # One sharding for every (B,)-shaped leaf of the result dict.
+    return jax.jit(
         lambda k: sweep_fn(k, *args, n_scenes=n_scenes, **kwargs),
-        out_shardings=jax.tree_util.tree_map(lambda _: shard, {"_": 0})["_"],
+        out_shardings=shard,
     )(key)
-    return out
 
 
 def sweep_summary(results: dict) -> dict:
