@@ -13,7 +13,8 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="azoom.train")
-    p.add_argument("--model", default="fpu", choices=["fpu", "deepfpu", "blstm"])
+    p.add_argument("--model", default="fpu",
+                   choices=["fpu", "deepfpu", "blstm", "crn"])
     p.add_argument("--features", default="logmag_ipd", choices=["logmag_ipd", "physics"])
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=16)
@@ -40,6 +41,11 @@ def main(argv=None):
     cfg = DEFAULT.replace(mic_dist=0.04)
     if args.model == "blstm":
         model = BLSTMMaskNet(hidden=8 * args.base, unidirectional=args.causal)
+    elif args.model == "crn":
+        from azoom.models.crn import CRNMaskNet
+
+        model = CRNMaskNet(base=args.base // 2, hidden=4 * args.base,
+                           unidirectional=args.causal)
     else:
         model_cls = FreqPreservingUNet if args.model == "fpu" else DeepFPU
         model = model_cls(base=args.base)

@@ -64,3 +64,33 @@ def test_blstm_trains():
         state, loss = step(state, batch["features"], batch["label"])
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_crn_shapes_and_learns():
+    from azoom.models.crn import CRNMaskNet
+
+    cfg = PipelineConfig(mic_dist=0.04)
+    model = CRNMaskNet(base=8, hidden=32, n_lstm=1)
+    x = jnp.zeros((2, 513, 16, 2))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(vars_, x)
+    assert y.shape == (2, 513, 16)
+    assert float(jnp.min(y)) >= 0.0 and float(jnp.max(y)) <= 1.0
+    # trains (loss decreases on one batch)
+    batch = synth_batch(jax.random.PRNGKey(0), 2, cfg, n_samples=8_192)
+    state = create_state(model, jax.random.PRNGKey(1), batch["features"].shape)
+    step = make_train_step()
+    losses = []
+    for _ in range(6):
+        state, loss = step(state, batch["features"], batch["label"])
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_crn_bidirectional_variant():
+    from azoom.models.crn import CRNMaskNet
+
+    model = CRNMaskNet(base=8, hidden=32, n_lstm=1, unidirectional=False)
+    x = jnp.ones((1, 129, 8, 2))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    assert model.apply(vars_, x).shape == (1, 129, 8)
