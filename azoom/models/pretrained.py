@@ -18,6 +18,7 @@ __all__ = [
     "load_pretrained_fpu",
     "load_pretrained_deepfpu",
     "load_pretrained_fpu_reverb",
+    "load_pretrained_crn_causal",
 ]
 
 _ASSETS = Path(__file__).resolve().parent.parent / "assets"
@@ -30,10 +31,15 @@ _DEEPFPU_ARTIFACT = _ASSETS / "deepfpu_b32_phy_int8.npz"
 # gains ~+3 dB SIR over the anechoic-trained model (21.8 vs 18.7 dB).
 _FPU_REVERB_ARTIFACT = _ASSETS / "fpu_b32_reverb_int8.npz"
 
+# Causal CRN for the frame-latency online pipeline: +16.3 dB SIR fully
+# causally (one 32 ms STFT hop of algorithmic latency), mask acc 0.82.
+_CRN_CAUSAL_ARTIFACT = _ASSETS / "crn_causal_int8.npz"
+
 _PATHS = {
     "fpu": _FPU_ARTIFACT,
     "deepfpu": _DEEPFPU_ARTIFACT,
     "fpu_reverb": _FPU_REVERB_ARTIFACT,
+    "crn_causal": _CRN_CAUSAL_ARTIFACT,
 }
 
 
@@ -64,6 +70,23 @@ def load_pretrained_fpu_reverb():
             f"bundled artifact missing: {_FPU_REVERB_ARTIFACT}"
         )
     return FreqPreservingUNet(base=32), load_quantized(_FPU_REVERB_ARTIFACT)
+
+
+def load_pretrained_crn_causal():
+    """Returns (model, variables) for the bundled causal CRN — the
+    frame-latency streaming mask net (pairs with
+    azoom.pipelines.online_learned)."""
+    from azoom.models.crn import CRNMaskNet
+    from azoom.models.quantize import load_quantized
+
+    if not _CRN_CAUSAL_ARTIFACT.exists():
+        raise FileNotFoundError(
+            f"bundled artifact missing: {_CRN_CAUSAL_ARTIFACT}"
+        )
+    return (
+        CRNMaskNet(base=16, hidden=128, unidirectional=True),
+        load_quantized(_CRN_CAUSAL_ARTIFACT),
+    )
 
 
 def load_pretrained_deepfpu():

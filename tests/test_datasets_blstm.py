@@ -94,3 +94,26 @@ def test_crn_bidirectional_variant():
     x = jnp.ones((1, 129, 8, 2))
     vars_ = model.init(jax.random.PRNGKey(0), x)
     assert model.apply(vars_, x).shape == (1, 129, 8)
+
+
+def test_bundled_crn_causal_online_pipeline():
+    """The bundled causal CRN must causally improve SIR at frame latency."""
+    from azoom.models.pretrained import bundled_artifact_path, load_pretrained_crn_causal
+    from azoom.pipelines.online_learned import online_learned_enhance
+    from azoom.sim.farfield import make_scene
+    from azoom.sim.signals import speech_like_batch
+    from azoom.eval.projection import osinr_osir
+
+    if bundled_artifact_path("crn_causal") is None:
+        import pytest
+
+        pytest.skip("artifact absent")
+    cfg = PipelineConfig(mic_dist=0.04)
+    model, variables = load_pretrained_crn_causal()
+    sigs = speech_like_batch(jax.random.PRNGKey(41), 3, 32_000, cfg.fs)
+    sc = make_scene(sigs[0], sigs[1:], 90.0, jnp.array([40.0, 130.0]),
+                    cfg.mic_dist, cfg.fs)
+    out = online_learned_enhance(sc["mixture"], model, variables, cfg)
+    _, so = osinr_osir(out, sc["target_ref"], sc["interference_ref"])
+    _, si = osinr_osir(sc["mixture"][0], sc["target_ref"], sc["interference_ref"])
+    assert float(so) - float(si) > 8.0
