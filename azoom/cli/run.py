@@ -34,10 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--beamformer", default="oracle",
-        choices=["oracle", "mvdr", "hard_null", "gev", "maxsnr_fov", "autosteer"],
+        choices=["oracle", "mvdr", "hard_null", "gev", "maxsnr_fov",
+                 "autosteer", "online"],
         help="oracle = answer-key IBM (no model); gev = oracle-mask GEV; "
              "maxsnr_fov = blind FOV-constrained max-SNR; autosteer = blind "
-             "localize-in-FOV + steered MVDR; mvdr/hard_null use the "
+             "localize-in-FOV + steered MVDR; online = causal CRN + "
+             "recursive MVDR (32 ms latency); mvdr/hard_null use the "
              "learned mask (--ckpt or bundled artifact)",
     )
     p.add_argument("--fov", type=float, default=10.0,
@@ -207,6 +209,13 @@ def do_inf(args, paths: PathsConfig) -> Path:
             mixture, cfg, fov_center_deg=args.angle, fov_width_deg=args.fov
         )
         print(f"[INF] autosteer locked onto {float(theta):.1f} deg")
+    elif args.beamformer == "online":
+        from azoom.models.pretrained import load_pretrained_crn_causal
+        from azoom.pipelines.online_learned import online_learned_enhance
+
+        model, variables = load_pretrained_crn_causal()
+        print("[INF] causal CRN + recursive MVDR (32 ms algorithmic latency)")
+        out = online_learned_enhance(mixture, model, variables, cfg)
     elif args.beamformer == "maxsnr_fov":
         import jax.numpy as jnp
 

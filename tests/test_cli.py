@@ -132,3 +132,18 @@ def test_plot_eval_cli(workdir):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "STOI:" in r.stdout
     assert out.exists()
+
+
+def test_online_cli(workdir):
+    from azoom.models.pretrained import bundled_artifact_path
+
+    if bundled_artifact_path("crn_causal") is None:
+        import pytest
+
+        pytest.skip("artifact absent")
+    r = _run(
+        ["azoom.cli.run", "inf", "--name", "smoke", "--beamformer", "online"],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "32 ms algorithmic latency" in r.stdout
