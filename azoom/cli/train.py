@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--seconds", type=float, default=2.0, help="crop length")
     p.add_argument("--reverb", action="store_true",
                    help="train on room-acoustics (image-source RIR) scenes")
+    p.add_argument("--angle-jitter", type=float, default=0.0,
+                   help="randomize source angles by +/- this many degrees")
     p.add_argument("--causal", action="store_true",
                    help="blstm only: unidirectional (streaming frame-latency)")
     p.add_argument("--ckpt", default="checkpoints/mask_estimator")
@@ -65,6 +67,7 @@ def main(argv=None):
         feature_kind=args.features,
         n_samples=int(args.seconds * cfg.fs),
         reverb=args.reverb,
+        angle_jitter_deg=args.angle_jitter,
         seed=args.seed,
         checkpoint_dir=args.ckpt,
         resume=not args.no_resume,

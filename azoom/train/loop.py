@@ -119,6 +119,7 @@ def fit(
     feature_kind: str = "logmag_ipd",
     n_samples: int = 32_000,
     reverb: bool = False,
+    angle_jitter_deg: float = 0.0,
     seed: int = 0,
     checkpoint_dir: str | Path | None = None,
     checkpoint_every: int = 200,
@@ -169,7 +170,8 @@ def fit(
     for i in range(start_step, n_steps):
         batch_key = jax.random.fold_in(key, i)
         batch = synth_batch(
-            batch_key, batch_size, cfg, feature_kind, n_samples, reverb=reverb
+            batch_key, batch_size, cfg, feature_kind, n_samples,
+            angle_jitter_deg=angle_jitter_deg, reverb=reverb
         )
         state, loss = train_step(state, batch["features"], batch["label"])
         if (i + 1) % log_every == 0 or i == start_step:
