@@ -31,6 +31,8 @@ def build_parser():
     p.add_argument("--ckpt", default=None)
     p.add_argument("--no-reverb", action="store_true")
     p.add_argument("--duration", type=float, default=2.0)
+    p.add_argument("--max-order", type=int, default=None,
+                   help="image-source order for per-run simulation")
     return p
 
 
@@ -99,6 +101,7 @@ def run_per_run(args):
              "--seed", str(args.seed + i), "--duration", str(args.duration),
              "--beamformer", args.beamformer, "--data-root", args.data_root]
             + (["--no-reverb"] if args.no_reverb else [])
+            + (["--max-order", str(args.max_order)] if args.max_order is not None else [])
             + (["--ckpt", args.ckpt] if args.ckpt else [])
         )
         try:

@@ -147,3 +147,17 @@ def test_online_cli(workdir):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "32 ms algorithmic latency" in r.stdout
+
+
+def test_batch_per_run_mode(workdir):
+    """Reference-semantics serial sweep: sim -> inf -> eval per scene with
+    per-run fault tolerance (batch_run.py:12-49)."""
+    r = _run(
+        ["azoom.cli.batch", "--n", "2", "--per-run", "--duration", "0.5",
+         "--max-order", "3", "--prefix", "serial", "--interferers", "1"],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "2 ok, 0 failed" in r.stdout
+    assert (workdir / "data/results/serial_000_results/report.txt").exists()
+    assert (workdir / "data/results/serial_001_results/report.txt").exists()
