@@ -23,8 +23,9 @@ __all__ = [
 
 _ASSETS = Path(__file__).resolve().parent.parent / "assets"
 _FPU_ARTIFACT = _ASSETS / "fpu_b32_int8.npz"
-# DeepFPU gen-4 twin: physics-aware 4-ch features, held-out mask accuracy
-# 0.84, blind SIR improvement ~+24.6 dB (int8).
+# DeepFPU gen-4 twin: physics-aware 4-ch features, 10k steps with +/-3 deg
+# angle jitter; held-out mask accuracy 0.849, blind SIR improvement
+# ~+27.1 dB (int8).
 _DEEPFPU_ARTIFACT = _ASSETS / "deepfpu_b32_phy_int8.npz"
 # Reverb-robust FPU: trained on image-source room scenes (beyond the
 # reference's anechoic-only training); on reverberant held-out scenes it
