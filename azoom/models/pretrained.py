@@ -29,7 +29,8 @@ _FPU_ARTIFACT = _ASSETS / "fpu_b32_int8.npz"
 _DEEPFPU_ARTIFACT = _ASSETS / "deepfpu_b32_phy_int8.npz"
 # Reverb-robust FPU: trained on image-source room scenes (beyond the
 # reference's anechoic-only training); on reverberant held-out scenes it
-# gains ~+3 dB SIR over the anechoic-trained model (21.8 vs 18.7 dB).
+# gains ~+3 dB SIR over the anechoic-trained model (23.7 vs 20.8 dB at
+# 8k steps).
 _FPU_REVERB_ARTIFACT = _ASSETS / "fpu_b32_reverb_int8.npz"
 
 # Causal CRN for the frame-latency online pipeline: +16.3 dB SIR fully
