@@ -46,12 +46,18 @@ def solve_2x2_general(A: jnp.ndarray, d: jnp.ndarray, eps: float = 0.0) -> jnp.n
     return jnp.stack([x0, x1], axis=-1)
 
 
-def eigh_2x2_hermitian(R: jnp.ndarray, eps: float = 1e-12):
+def eigh_2x2_hermitian(R: jnp.ndarray, eps: float = 1e-12, rel_tol: float = 1e-6):
     """Eigen-decomposition of Hermitian R (..., 2, 2), closed form.
 
     Returns (eigvals, eigvecs) with eigvals (..., 2) ascending (matching
     numpy.linalg.eigh so the principal eigenvector is eigvecs[..., :, -1])
     and eigvecs (..., 2, 2) unit-norm columns.
+
+    Degeneracy (isotropic R, where the eigenbasis is arbitrary) is detected
+    RELATIVE to the matrix scale — an absolute threshold silently snaps
+    small-magnitude but perfectly anisotropic matrices (e.g. quiet-bin
+    covariances ~1e-7) to the e-basis, which mis-steers any beamformer
+    built on the result.
     """
     a = R[..., 0, 0].real
     b = R[..., 0, 1]
@@ -63,6 +69,10 @@ def eigh_2x2_hermitian(R: jnp.ndarray, eps: float = 1e-12):
     lam_max = half_tr + radius
     eigvals = jnp.stack([lam_min, lam_max], axis=-1)
 
+    # Scale of the problem: |R| ~ |half_tr| + radius. The eigenvector
+    # candidates below have norm ~ radius x O(1) when non-degenerate.
+    scale = jnp.abs(half_tr) + radius + eps
+
     # Eigenvector for lambda: (R - lam I) v = 0. Two candidate constructions;
     # pick per-element the one with the larger norm for numerical stability
     # (they coincide up to phase when both are nonzero).
@@ -72,18 +82,19 @@ def eigh_2x2_hermitian(R: jnp.ndarray, eps: float = 1e-12):
         n1 = jnp.sum(jnp.abs(v1) ** 2, axis=-1, keepdims=True)
         n2 = jnp.sum(jnp.abs(v2) ** 2, axis=-1, keepdims=True)
         v = jnp.where(n1 >= n2, v1, v2)
-        n = jnp.sqrt(jnp.maximum(jnp.sum(jnp.abs(v) ** 2, axis=-1, keepdims=True), eps))
-        # Degenerate (b = 0, lam equals both diagonals): fall back to e-basis.
+        nsq = jnp.sum(jnp.abs(v) ** 2, axis=-1, keepdims=True)
+        n = jnp.sqrt(jnp.maximum(nsq, eps * eps))
+        # Degenerate relative to scale: fall back to e-basis.
         fallback = jnp.broadcast_to(
             jnp.asarray([1.0 + 0j, 0.0 + 0j], dtype=R.dtype), v.shape
         )
-        degenerate = jnp.sum(jnp.abs(v) ** 2, axis=-1, keepdims=True) < eps
+        degenerate = nsq < (rel_tol * scale[..., None]) ** 2
         return jnp.where(degenerate, fallback, v / n)
 
     v_min = vec_for(lam_min)
     v_max = vec_for(lam_max)
     # If degenerate (isotropic R), make the two vectors orthogonal.
-    degenerate = (radius < eps)[..., None]
+    degenerate = (radius < rel_tol * scale)[..., None]
     e0 = jnp.zeros_like(v_min).at[..., 0].set(1.0)
     e1 = jnp.zeros_like(v_max).at[..., 1].set(1.0)
     v_min = jnp.where(degenerate, e0, v_min)

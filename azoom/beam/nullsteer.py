@@ -49,7 +49,9 @@ def hard_null_weights(
     phase = v_int[..., :1] / (jnp.abs(v_int[..., :1]) + eps)
     v_int = v_int * jnp.conj(phase)
 
-    # Constraint matrix columns [v_tgt, v_int] -> (..., F, 2, 2).
+    # Constraint matrix columns [v_tgt, v_int] -> (..., F, 2, 2); d_tgt may
+    # be unbatched (F, 2) while v_int carries batch dims.
+    d_tgt = jnp.broadcast_to(d_tgt, v_int.shape)
     C = jnp.stack([d_tgt, v_int], axis=-1)
 
     # Hard-null solve: C^H w = [1, 0].

@@ -223,3 +223,19 @@ def test_hard_null_matches_per_bin_numpy(rng):
         S_ref[fi] = w.conj() @ Yf
 
     np.testing.assert_allclose(S_fast, S_ref, rtol=2e-2, atol=2e-3)
+
+
+def test_eigh_2x2_scale_invariant(rng):
+    """Eigenvectors must not depend on matrix magnitude — a tiny (1e-7
+    scale) anisotropic covariance (quiet TF bin) has perfectly good
+    eigenvectors. Regression test for the absolute-threshold degeneracy
+    snap that mis-steered the hard-null beamformer on quiet bins."""
+    R = _random_hermitian(rng, 16)
+    for s in (1.0, 1e-7, 1e7):
+        _, vecs = eigh_2x2_hermitian(jnp.asarray(R * s))
+        vecs = np.asarray(vecs)
+        _, vecs_ref = np.linalg.eigh(R * s)
+        for k in range(2):
+            # Same direction up to phase: |<v, v_ref>| = 1.
+            dot = np.abs(np.sum(np.conj(vecs[:, :, k]) * vecs_ref[:, :, k], -1))
+            np.testing.assert_allclose(dot, 1.0, atol=1e-4, err_msg=f"scale {s}")

@@ -61,3 +61,52 @@ def test_pallas_postfilter_and_batch():
     np.testing.assert_allclose(
         np.asarray(jnp.abs(ker - ref)).max(), 0.0, atol=5e-4
     )
+
+
+def test_hard_null_pallas_matches_xla():
+    from azoom.beam.nullsteer import hybrid_hard_null_beamform
+    from azoom.pallas.nullsteer_kernel import hybrid_hard_null_pallas
+    from azoom.masks.oracle import ibm_target_mask
+
+    sigs = speech_like_batch(jax.random.PRNGKey(13), 3, 32_000, CFG.fs)
+    sc = make_scene(
+        sigs[0], sigs[1:], 90.0, jnp.array([40.0, 130.0]), CFG.mic_dist, CFG.fs
+    )
+    Y = stft(sc["mixture"], CFG.n_fft, CFG.hop)
+    S_t = stft(sc["target_ref"], CFG.n_fft, CFG.hop)
+    S_i = stft(sc["interference_ref"], CFG.n_fft, CFG.hop)
+    tgt_mask = ibm_target_mask(S_t, S_i)
+    freqs = rfft_freqs(CFG.n_fft, CFG.fs)
+    d = steering_vector(freqs, 90.0, CFG.mic_dist, normalize_phase=True)
+
+    # The cond>10 gate sits exactly at the decision boundary for much of
+    # this geometry (cond ~ 9.96), so f32 rounding flips XLA vs kernel on
+    # boundary bins. Compare elementwise in both unambiguous regimes:
+    # threshold huge (always hard-null) and tiny (always delay-and-sum).
+    # DAS regime: exact elementwise parity expected.
+    thr = 1.0 + 1e-6
+    ref = hybrid_hard_null_beamform(Y, tgt_mask, d, freqs, cond_threshold=thr)
+    ker = hybrid_hard_null_pallas(
+        Y, tgt_mask, d, freqs, cond_threshold=thr, interpret=True
+    )
+    err = float(jnp.max(jnp.abs(ker - ref)))
+    assert err < 5e-3 * max(float(jnp.max(jnp.abs(ref))), 1.0), err
+
+    # Hard-null regime: ill-conditioned bins amplify f32 eigvec rounding
+    # into the solve, so compare per-row relative error distribution.
+    thr = 1e6
+    ref = hybrid_hard_null_beamform(Y, tgt_mask, d, freqs, cond_threshold=thr)
+    ker = hybrid_hard_null_pallas(
+        Y, tgt_mask, d, freqs, cond_threshold=thr, interpret=True
+    )
+    row_err = np.asarray(jnp.max(jnp.abs(ker - ref), axis=-1))
+    row_ref = np.asarray(jnp.max(jnp.abs(ref), axis=-1)) + 1e-9
+    rel = row_err / row_ref
+    assert np.median(rel) < 1e-3, np.median(rel)
+    assert np.percentile(rel, 90) < 2e-2, np.percentile(rel, 90)
+
+    # Batched variant (default threshold; only self-consistency).
+    ker = hybrid_hard_null_pallas(Y, tgt_mask, d, freqs, interpret=True)
+    Yb, mb = jnp.stack([Y, Y]), jnp.stack([tgt_mask, tgt_mask])
+    kb = hybrid_hard_null_pallas(Yb, mb, d, freqs, interpret=True)
+    np.testing.assert_allclose(np.asarray(kb[0]), np.asarray(ker), atol=1e-6)
