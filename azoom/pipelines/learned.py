@@ -120,7 +120,12 @@ def learned_enhance(
             freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics,
             normalize_phase=True,
         )
-        S = hybrid_hard_null_beamform(Y, tgt_mask, d, freqs) * tgt_mask
+        null_fn = hybrid_hard_null_beamform
+        if use_pallas:
+            from azoom.pallas.nullsteer_kernel import (
+                hybrid_hard_null_pallas as null_fn,
+            )
+        S = null_fn(Y, tgt_mask, d, freqs) * tgt_mask
     else:
         raise ValueError(f"unknown beamformer {beamformer!r}")
 
