@@ -78,3 +78,18 @@ def test_streaming_enhance_sharded_matches(devices8):
     ref = streaming_enhance(x, process, 32_000, 16_000)
     shd = streaming_enhance_sharded(x, process, mesh, 32_000, 16_000)
     np.testing.assert_allclose(np.asarray(shd), np.asarray(ref), atol=1e-6)
+
+
+def test_multihost_helpers_single_process():
+    from azoom.parallel.multihost import (
+        global_data_mesh,
+        host_shard,
+        initialize,
+        is_primary,
+    )
+
+    initialize()  # no-op single process
+    assert is_primary()
+    assert list(host_shard(5)) == [0, 1, 2, 3, 4]
+    mesh = global_data_mesh()
+    assert mesh.devices.size == len(jax.devices())
