@@ -30,7 +30,8 @@ if not _os.environ.get("AZOOM_NO_COMPILE_CACHE"):
         pass
 
 from azoom.config import DEFAULT, GEN1, PipelineConfig, RoomConfig
+from azoom.zoom_api import AudioZoom
 
 __version__ = "0.1.0"
 
-__all__ = ["DEFAULT", "GEN1", "PipelineConfig", "RoomConfig", "__version__"]
+__all__ = ["AudioZoom", "DEFAULT", "GEN1", "PipelineConfig", "RoomConfig", "__version__"]

@@ -1,0 +1,121 @@
+"""AudioZoom — the product-level facade.
+
+One object that ties the whole framework to the product concept (a camera
+UI driving an acoustic beam): set the *zoom state* (look direction, field
+of view, zoom level), then feed audio — whole clips or a live sample
+stream. Internally: zoom level -> diagonal loading (beam.zoom), FOV ->
+localization gate (localize.srp), direction -> steering; enhancement is
+the blind autosteer pipeline by default or a supplied mask model.
+
+Streaming uses Hann-weighted 50 % overlap-add with persistent state, so
+``push()`` can be called with arbitrary-sized sample blocks from an audio
+callback; output emerges one hop behind the input (plus the 2 s window of
+algorithmic latency — use pipelines.online_learned for the 32 ms path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from azoom.beam.zoom import zoom_to_sigma
+from azoom.config import PipelineConfig
+from azoom.pipelines.autosteer import autosteer_enhance
+from azoom.utils.host import to_numpy
+
+__all__ = ["AudioZoom"]
+
+
+@dataclasses.dataclass
+class AudioZoom:
+    """High-level audio-zoom processor.
+
+    Args:
+      cfg: physics/STFT configuration.
+      direction_deg: where the camera looks (beam steering center).
+      fov_deg: visual field of view (localization gate width).
+      zoom: UI zoom level in [0, 1]; controls beamwidth via diagonal
+        loading (0 = wide, 1 = maximally narrow).
+      enhance_fn: optional override (M, win) -> (win,); defaults to the
+        blind autosteer pipeline under the current zoom state.
+    """
+
+    cfg: PipelineConfig = PipelineConfig(mic_dist=0.04)
+    direction_deg: float = 90.0
+    fov_deg: float = 60.0
+    zoom: float = 0.5
+    enhance_fn: Callable | None = None
+
+    def __post_init__(self):
+        self._reset_stream()
+
+    # -- zoom state ---------------------------------------------------------
+
+    def set_zoom(self, direction_deg=None, fov_deg=None, zoom=None) -> None:
+        if direction_deg is not None:
+            self.direction_deg = float(direction_deg)
+        if fov_deg is not None:
+            self.fov_deg = float(fov_deg)
+        if zoom is not None:
+            self.zoom = float(np.clip(zoom, 0.0, 1.0))
+
+    @property
+    def sigma(self) -> float:
+        return float(zoom_to_sigma(self.zoom))
+
+    def _enhance_window(self, window: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg.replace(
+            sigma=self.sigma, angle_target_deg=self.direction_deg
+        )
+        if self.enhance_fn is not None:
+            return self.enhance_fn(window)
+        out, _ = autosteer_enhance(
+            window, cfg, fov_center_deg=self.direction_deg,
+            fov_width_deg=self.fov_deg,
+        )
+        return out
+
+    # -- whole-clip ---------------------------------------------------------
+
+    def enhance(self, mixture) -> np.ndarray:
+        """Whole-clip enhancement: (M, n) -> (n,) numpy."""
+        return to_numpy(self._enhance_window(jnp.asarray(mixture)))
+
+    # -- live streaming -----------------------------------------------------
+
+    def _reset_stream(self):
+        self._win = self.cfg.win_size
+        self._hop = self._win // 2
+        self._inbuf = np.zeros((self.cfg.n_mics, 0), np.float32)
+        self._tail = np.zeros(self._hop, np.float32)
+        self._started = False
+        w = np.hanning(self._win + 1)[:-1].astype(np.float32)
+        self._window = w
+        # 50% Hann overlap-add sums to a (nearly) constant; dividing by the
+        # exact pairwise sum makes the stream reconstruction gain exactly 1.
+        self._ola_norm = np.maximum(w[: self._hop] + w[self._hop :], 1e-6)
+
+    def reset(self) -> None:
+        """Drop all stream state (e.g. on seek or device change)."""
+        self._reset_stream()
+
+    def push(self, samples) -> np.ndarray:
+        """Feed (M, k) new samples; returns whatever enhanced audio is ready
+        (multiple of hop samples, possibly empty)."""
+        samples = np.asarray(samples, np.float32)
+        self._inbuf = np.concatenate([self._inbuf, samples], axis=1)
+        out = []
+        while self._inbuf.shape[1] >= self._win:
+            window = self._inbuf[:, : self._win]
+            enhanced = to_numpy(self._enhance_window(jnp.asarray(window)))
+            weighted = enhanced * self._window
+            head = weighted[: self._hop]
+            if self._started:
+                out.append((self._tail + head) / self._ola_norm)
+            self._tail = weighted[self._hop :]
+            self._started = True
+            self._inbuf = self._inbuf[:, self._hop :]
+        return np.concatenate(out) if out else np.zeros(0, np.float32)

@@ -1,0 +1,64 @@
+"""AudioZoom facade tests: zoom state, whole-clip enhancement, stateful
+streaming reconstruction and block-size invariance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from azoom.config import PipelineConfig
+from azoom.eval.projection import sir_improvement_db
+from azoom.sim.farfield import make_scene
+from azoom.sim.signals import speech_like_batch
+from azoom.zoom_api import AudioZoom
+
+CFG = PipelineConfig(mic_dist=0.04)
+
+
+def test_zoom_state():
+    z = AudioZoom(cfg=CFG)
+    z.set_zoom(direction_deg=60.0, fov_deg=30.0, zoom=1.0)
+    assert z.direction_deg == 60.0 and z.fov_deg == 30.0
+    sigma_narrow = z.sigma
+    z.set_zoom(zoom=0.0)
+    assert z.sigma > sigma_narrow  # wide = more loading
+
+
+def test_whole_clip_enhances():
+    sigs = speech_like_batch(jax.random.PRNGKey(2), 2, 32_000, CFG.fs)
+    sc = make_scene(sigs[0], sigs[1:2], 60.0, jnp.asarray([130.0]),
+                    CFG.mic_dist, CFG.fs)
+    z = AudioZoom(cfg=CFG, direction_deg=70.0, fov_deg=60.0)
+    out = z.enhance(sc["mixture"])
+    assert out.shape == (32_000,)
+    imp = sir_improvement_db(
+        jnp.asarray(out), sc["mixture"][0], sc["target_ref"],
+        sc["interference_ref"],
+    )
+    assert float(imp) > 2.0
+
+
+def test_streaming_passthrough_reconstruction(rng):
+    """With an identity enhance_fn, the stream must reproduce the input
+    exactly (steady state), for any push block size."""
+    n = 120_000
+    x = rng.standard_normal((2, n)).astype(np.float32) * 0.3
+
+    def run(block):
+        z = AudioZoom(cfg=CFG, enhance_fn=lambda w: w[0])
+        outs = []
+        for i in range(0, n, block):
+            outs.append(z.push(x[:, i : i + block]))
+        return np.concatenate(outs)
+
+    out = run(5_000)
+    # Output sample i corresponds to input sample i + hop (the stream emits
+    # starting from the second window's overlap region).
+    hop = CFG.win_size // 2
+    m = len(out)
+    assert m >= n - 2 * CFG.win_size
+    np.testing.assert_allclose(out, x[0, hop : hop + m], atol=1e-4)
+
+    # Block-size invariance.
+    out2 = run(1_234)
+    k = min(len(out), len(out2))
+    np.testing.assert_allclose(out[:k], out2[:k], atol=1e-5)
