@@ -32,3 +32,29 @@ def test_entry_and_dryrun_subprocess():
     assert r.returncode == 0, r.stderr[-3000:]
     assert "entry-ok" in r.stdout
     assert "dryrun] 8-device mesh OK" in r.stdout
+
+
+def test_dryrun_self_provisions_from_single_device():
+    """The driver calls dryrun_multichip(8) from a session with ONE device
+    (the axon TPU). The function must self-provision a virtual 8-CPU mesh
+    in a subprocess rather than assert (round-1 MULTICHIP gate failure)."""
+    import os
+
+    code = (
+        "import __graft_entry__ as g, jax\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "g.dryrun_multichip(8)\n"
+        "print('self-provision-ok')\n"
+    )
+    env = dict(os.environ)
+    # Parent sees exactly one (CPU) device; no forced device count.
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = str(REPO)
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "dryrun] 8-device mesh OK" in r.stdout
+    assert "self-provision-ok" in r.stdout
