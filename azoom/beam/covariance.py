@@ -16,6 +16,7 @@ through, so a sharded sweep evaluates thousands of mixtures in one program.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["masked_covariance", "recursive_covariance_update"]
@@ -42,7 +43,14 @@ def masked_covariance(
     """
     m = mask.astype(Y.real.dtype)
     # (..., M, F, T) x (..., N, F, T) * mask(..., F, T) -> (..., F, M, N)
-    R = jnp.einsum("...mft,...ft,...nft->...fmn", Y, m, jnp.conj(Y))
+    # HIGHEST precision: on TPU the default bf16 contraction loses ~7 of
+    # the 24 mantissa bits, which downstream eigen-solvers amplify (the
+    # GEV beamformer drops ~14 dB SIR). The contraction is tiny (M=N=2),
+    # so full precision costs nothing next to the mask net.
+    R = jnp.einsum(
+        "...mft,...ft,...nft->...fmn", Y, m, jnp.conj(Y),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     norm = jnp.sum(m, axis=-1) + eps  # (..., F)
     return R / norm[..., None, None]
 

@@ -41,9 +41,18 @@ __all__ = [
 ]
 
 
-def eig_principal_2x2(A: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+def eig_principal_2x2(
+    A: jnp.ndarray, eps: float = 1e-12, rel_tol: float = 1e-6
+) -> jnp.ndarray:
     """Principal (largest-|lambda|) eigenvector of a general complex 2x2
-    matrix (..., 2, 2), closed form, unit norm."""
+    matrix (..., 2, 2), closed form, unit norm.
+
+    Degeneracy (A ~ isotropic, eigenbasis arbitrary — e.g. R_tgt
+    proportional to R_noise in the GEV solve) is detected RELATIVE to the
+    matrix scale, same rationale as eigh_2x2_hermitian: an absolute
+    threshold either never fires (post-clamp norms) or silently snaps
+    small-but-anisotropic matrices to e0.
+    """
     a, b = A[..., 0, 0], A[..., 0, 1]
     c, d = A[..., 1, 0], A[..., 1, 1]
     tr = a + d
@@ -52,16 +61,19 @@ def eig_principal_2x2(A: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     lam1 = 0.5 * (tr + disc)
     lam2 = 0.5 * (tr - disc)
     lam = jnp.where(jnp.abs(lam1) >= jnp.abs(lam2), lam1, lam2)
-    # (A - lam I) v = 0 -> rows give two candidate constructions.
+    # (A - lam I) v = 0 -> rows give two candidate constructions, whose
+    # norms are ~ |A| x O(1) whenever the eigenvector is well defined.
     v1 = jnp.stack([b, lam - a], axis=-1)
     v2 = jnp.stack([lam - d, c], axis=-1)
     n1 = jnp.sum(jnp.abs(v1) ** 2, axis=-1, keepdims=True)
     n2 = jnp.sum(jnp.abs(v2) ** 2, axis=-1, keepdims=True)
     v = jnp.where(n1 >= n2, v1, v2)
-    nv = jnp.sqrt(jnp.maximum(jnp.sum(jnp.abs(v) ** 2, axis=-1, keepdims=True), eps))
-    degenerate = nv[..., 0] < 1e-6
+    nsq = jnp.sum(jnp.abs(v) ** 2, axis=-1, keepdims=True)
+    scale = jnp.abs(a) + jnp.abs(b) + jnp.abs(c) + jnp.abs(d)
+    degenerate = nsq <= (rel_tol * scale[..., None]) ** 2 + eps * eps
+    nv = jnp.sqrt(jnp.where(degenerate, 1.0, nsq))
     e0 = jnp.zeros_like(v).at[..., 0].set(1.0)
-    return jnp.where(degenerate[..., None], e0, v / nv)
+    return jnp.where(degenerate, e0, v / nv)
 
 
 def gev_weights(
@@ -87,8 +99,19 @@ def gev_weights(
     eye = jnp.eye(M, dtype=R_noise.dtype)
     Rn = R_noise + sigma * eye
     # A = Rn^-1 R_tgt, column by column via the Hermitian 2x2 solve.
-    col0 = solve_2x2_hermitian(Rn, R_tgt[..., :, 0])
-    col1 = solve_2x2_hermitian(Rn, R_tgt[..., :, 1])
+    # Both matrices are trace-normalized first: the principal eigenvector
+    # of A is invariant to per-bin rescaling of either factor, and O(1)
+    # entries keep the det and divisions inside f32 range (quiet bins
+    # carry covariances ~1e-7 whose raw det overflows A to inf on TPU,
+    # turning the eig into NaN). The det floor guards exactly-rank-1
+    # noise fields; it is meaningful because post-normalization det is
+    # dimensionless in [0, 1].
+    t_n = (Rn[..., 0, 0].real + Rn[..., 1, 1].real) * 0.5
+    t_t = (R_tgt[..., 0, 0].real + R_tgt[..., 1, 1].real) * 0.5
+    Rn_h = Rn / jnp.maximum(t_n, 1e-30)[..., None, None]
+    Rt_h = R_tgt / jnp.maximum(t_t, 1e-30)[..., None, None]
+    col0 = solve_2x2_hermitian(Rn_h, Rt_h[..., :, 0], eps=1e-10)
+    col1 = solve_2x2_hermitian(Rn_h, Rt_h[..., :, 1], eps=1e-10)
     A = jnp.stack([col0, col1], axis=-1)
     w = eig_principal_2x2(A)
 

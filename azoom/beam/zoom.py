@@ -64,9 +64,11 @@ def beamwidth_3db(
     idx = jnp.arange(a.shape[0])
     right = idx >= i_tgt
     # First False at-or-right of target bounds the lobe; same to the left.
-    blocked_r = jnp.cumsum(jnp.where(right & ~above, 1, 0)) > 0
+    blocked_r = jnp.cumsum(jnp.where(right & ~above, 1, 0), axis=-1) > 0
     left = idx <= i_tgt
-    blocked_l = (jnp.cumsum(jnp.where(left & ~above, 1, 0)[::-1]) > 0)[::-1]
+    blocked_l = (
+        jnp.cumsum(jnp.where(left & ~above, 1, 0)[..., ::-1], axis=-1) > 0
+    )[..., ::-1]
     in_lobe = above & ~blocked_r & ~blocked_l & (right | left)
     da = jnp.mean(jnp.diff(a))
     return jnp.sum(in_lobe, axis=-1) * da

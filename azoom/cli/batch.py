@@ -28,12 +28,68 @@ def build_parser():
     p.add_argument("--data-root", default="data")
     p.add_argument("--beamformer", default="oracle",
                    choices=["oracle", "mvdr", "hard_null", "gev"])
+    p.add_argument("--model", default="fpu", choices=["fpu", "deepfpu"],
+                   help="mask net for learned beamformers (vectorized mode)")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--no-reverb", action="store_true")
+    p.add_argument("--fixed-angles", action="store_true",
+                   help="anechoic scenes use the fixed 40/130 deg geometry "
+                        "instead of randomized interferer angles")
     p.add_argument("--duration", type=float, default=2.0)
     p.add_argument("--max-order", type=int, default=None,
                    help="image-source order for per-run simulation")
     return p
+
+
+def _load_sweep_model(args, cfg):
+    """(model, variables, feature_kind) for the vectorized learned sweep.
+
+    Defaults to the bundled artifacts (the reverb-trained FPU for reverb
+    campaigns); --ckpt accepts an int8 .npz artifact or an orbax dir.
+    """
+    feature_kind = "logmag_ipd" if args.model == "fpu" else "physics"
+    if args.ckpt:
+        import jax
+
+        from azoom.models.unet import DeepFPU, FreqPreservingUNet
+        from azoom.train.loop import create_state
+
+        model = FreqPreservingUNet() if args.model == "fpu" else DeepFPU()
+        ckpt = Path(args.ckpt)
+        if ckpt.suffix == ".npz":
+            from azoom.models.quantize import load_quantized
+
+            print(f"[BATCH] using quantized artifact {ckpt}")
+            return model, load_quantized(ckpt), feature_kind
+        from azoom.train.loop import restore_checkpoint
+
+        n_ch = 2 if feature_kind == "logmag_ipd" else 4
+        state = create_state(
+            model, jax.random.PRNGKey(0), (1, cfg.n_freqs, 64, n_ch)
+        )
+        state, step = restore_checkpoint(ckpt, state)
+        print(f"[BATCH] using checkpoint step {step} from {ckpt}")
+        return (
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feature_kind,
+        )
+    from azoom.models.pretrained import (
+        load_pretrained_deepfpu,
+        load_pretrained_fpu,
+        load_pretrained_fpu_reverb,
+    )
+
+    if args.model == "deepfpu":
+        print("[BATCH] using bundled deepfpu_b32_phy artifact")
+        model, variables = load_pretrained_deepfpu()
+    elif not args.no_reverb:
+        print("[BATCH] using bundled reverb-trained fpu_b32_reverb artifact")
+        model, variables = load_pretrained_fpu_reverb()
+    else:
+        print("[BATCH] using bundled fpu_b32 artifact")
+        model, variables = load_pretrained_fpu()
+    return model, variables, feature_kind
 
 
 def run_vectorized(args):
@@ -42,36 +98,60 @@ def run_vectorized(args):
     from azoom.config import DEFAULT
     from azoom.eval.reports import append_to_csv
     from azoom.parallel.mesh import make_mesh
-    from azoom.parallel.sweep import oracle_sweep, sharded_sweep, sweep_summary
+    from azoom.parallel.sweep import (
+        learned_sweep,
+        oracle_sweep,
+        sharded_sweep,
+        sweep_summary,
+    )
 
     cfg = DEFAULT.replace(mic_dist=0.04)
+    reverb = not args.no_reverb
     n_dev = len(jax.devices())
     n = args.n + (-args.n) % n_dev  # round up to a multiple of devices
-    print(f"[BATCH] vectorized sweep: {n} scenes over {n_dev} device(s)")
     key = jax.random.PRNGKey(args.seed)
     n_samples = int(args.duration * cfg.fs)
+    common = dict(
+        n_samples=n_samples,
+        with_stoi=True,
+        n_interferers=args.interferers,
+        reverb=reverb,
+        randomize=not args.fixed_angles,
+    )
+    if args.beamformer == "oracle":
+        sweep_fn, sweep_args = oracle_sweep, (cfg,)
+    elif args.beamformer in ("mvdr", "hard_null"):
+        model, variables, feature_kind = _load_sweep_model(args, cfg)
+        sweep_fn, sweep_args = learned_sweep, (cfg, model, variables)
+        common.update(beamformer=args.beamformer, feature_kind=feature_kind)
+    else:
+        raise SystemExit(
+            f"beamformer {args.beamformer!r} is not available in vectorized "
+            "mode; use --per-run"
+        )
+    print(
+        f"[BATCH] vectorized sweep: {n} scenes over {n_dev} device(s) — "
+        f"{args.beamformer}, {args.interferers} interferer(s), "
+        f"{'reverb' if reverb else 'anechoic'}"
+    )
     if n_dev > 1:
         mesh = make_mesh()
         with mesh:
-            res = sharded_sweep(
-                oracle_sweep, key, mesh, n, cfg, n_samples=n_samples, with_stoi=True
-            )
+            res = sharded_sweep(sweep_fn, key, mesh, n, *sweep_args, **common)
     else:
-        res = oracle_sweep(key, cfg, n_scenes=n, n_samples=n_samples, with_stoi=True)
+        res = sweep_fn(key, *sweep_args, n_scenes=n, **common)
 
     csv_path = Path(args.data_root) / "results" / "batch_metrics.csv"
-    import numpy as np
-
     for i in range(args.n):
         m = {
             "sir_b": float(res["sir_in"][i]),
             "sir_s": float(res["sir_out"][i]),
             "imp": float(res["sir_imp"][i]),
-            "sinr_b": 0.0,
+            "sinr_b": float(res["sinr_in"][i]),
             "sinr_s": float(res["sinr_out"][i]),
-            "stoi": float(res.get("stoi", np.zeros(args.n))[i]),
-            "pesq_wb": 0.0,
-            "pesq_nb": 0.0,
+            "stoi": float(res["stoi"][i]),
+            "pesq_wb": None,  # honest N/A: pesq lib unavailable here
+            "pesq_nb": None,
         }
         append_to_csv(csv_path, f"{args.prefix}_{args.start + i:03d}", m)
     summ = sweep_summary(res)

@@ -75,7 +75,7 @@ def _project(sources: jnp.ndarray, estimate: jnp.ndarray, L: int, eps: float):
     return y[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("filter_len",))
+@functools.partial(jax.jit, static_argnames=("target_index", "filter_len"))
 def bss_eval_sources(
     reference_sources: jnp.ndarray,
     estimated_source: jnp.ndarray,

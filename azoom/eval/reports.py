@@ -46,17 +46,25 @@ def compute_run_metrics(
 
     sinr_b, sir_b = (float(v) for v in osinr_osir(mix, tgt, itf))
     sinr_s, sir_s = (float(v) for v in osinr_osir(est, tgt, itf))
+    # PESQ stays None ("N/A" downstream) when unmeasured — a 0.0 would be
+    # indistinguishable from a catastrophic score in the CSV (the reference
+    # prints its optional-dependency guard instead, metrics.py:8-14).
     out = {
         "sir_b": sir_b, "sir_s": sir_s, "imp": sir_s - sir_b,
         "sinr_b": sinr_b, "sinr_s": sinr_s,
-        "stoi": 0.0, "pesq_wb": 0.0, "pesq_nb": 0.0,
+        "stoi": None, "pesq_wb": None, "pesq_nb": None,
     }
     if with_perceptual:
         out["stoi"] = float(stoi_fn(np.asarray(tgt), np.asarray(est), fs))
         nb, wb = pesq_scores(np.asarray(tgt), np.asarray(est), fs)
-        out["pesq_nb"] = nb if nb is not None else 0.0
-        out["pesq_wb"] = wb if wb is not None else 0.0
+        out["pesq_nb"] = nb
+        out["pesq_wb"] = wb
     return out
+
+
+def _fmt(v, spec: str) -> str:
+    """Format a metric; None renders as N/A (not-measured marker)."""
+    return "N/A" if v is None else f"{v:{spec}}"
 
 
 def format_report(run_name: str, m: dict) -> str:
@@ -73,8 +81,9 @@ def format_report(run_name: str, m: dict) -> str:
         "ENHANCED (Output):",
         f"  SIR:   {m['sir_s']:.2f} dB",
         f"  SINR:  {m['sinr_s']:.2f} dB",
-        f"  STOI:  {m['stoi']:.4f}",
-        f"  PESQ:  {m['pesq_wb']:.4f} (WB) | {m['pesq_nb']:.4f} (NB)",
+        f"  STOI:  {_fmt(m['stoi'], '.4f')}",
+        f"  PESQ:  {_fmt(m['pesq_wb'], '.4f')} (WB) | "
+        f"{_fmt(m['pesq_nb'], '.4f')} (NB)",
         "------------------------------------",
         f"SIR IMPROVEMENT: {m['imp']:+.2f} dB",
         "====================================",
@@ -99,9 +108,9 @@ def append_to_csv(csv_path: str | os.PathLike, run_name: str, m: dict) -> None:
                 "SIR_Imp": f"{m['imp']:.2f}",
                 "SINR_Base": f"{m['sinr_b']:.2f}",
                 "SINR_Enh": f"{m['sinr_s']:.2f}",
-                "STOI": f"{m['stoi']:.4f}",
-                "PESQ_WB": f"{m['pesq_wb']:.4f}",
-                "PESQ_NB": f"{m['pesq_nb']:.4f}",
+                "STOI": _fmt(m["stoi"], ".4f"),
+                "PESQ_WB": _fmt(m["pesq_wb"], ".4f"),
+                "PESQ_NB": _fmt(m["pesq_nb"], ".4f"),
             }
         )
 

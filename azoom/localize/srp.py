@@ -71,14 +71,13 @@ def srp_localize(
     return angles[jnp.argmax(power, axis=-1)]
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "n_angles", "upsample"))
+@functools.partial(jax.jit, static_argnames=("fs", "n_angles"))
 def gcc_phat_map(
     Y: jnp.ndarray,
     mic_dist: float,
     fs: int,
     c: float = 343.0,
     n_angles: int = 181,
-    upsample: int = 16,
     band_hz: tuple[float, float] = (200.0, 4000.0),
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """GCC-PHAT angular spectrum for a 2-mic pair.
@@ -86,10 +85,10 @@ def gcc_phat_map(
     Wideband delay-and-sum lobes from multiple talkers merge on a small
     2-mic aperture (the srp_map failure mode); phase-transform weighting
     whitens each TF bin so every source contributes a near-delta at its
-    TDOA. The cross-correlation is evaluated on an ``upsample``-times
-    denser delay grid (the true TDOA range is only +/- mic_dist/c ~ 2
-    samples at 16 kHz/8 cm) and mapped to azimuth via
-    tau = mic_dist cos(theta) / c.
+    TDOA. The steered cross-correlation is evaluated directly on the
+    angular grid via tau = mic_dist cos(theta) / c, which gives arbitrary
+    sub-sample delay resolution without an explicit upsampled irfft (the
+    true TDOA range is only +/- mic_dist/c ~ 2 samples at 16 kHz/8 cm).
 
     Args:
       Y: complex STFT (..., 2, F, T) (one-sided bins of an n_fft frame).

@@ -8,6 +8,20 @@ a device mesh so every chip owns B/n_devices scenes and the only
 communication is the final metric gather. This is the BASELINE.json north
 star ("batch_run.py sweeps thousands of mixtures per step").
 
+Two sweep families cover the reference's campaign configurations:
+
+  * :func:`oracle_sweep` — ground-truth IBM mask + MVDR, the correctness
+    ceiling (oracle_debug.py semantics).
+  * :func:`learned_sweep` — a trained mask net (closed-over flax model +
+    variables) feeding a selectable beamformer, over anechoic or
+    image-source reverb scenes: the blind flagship configuration the
+    reference measures in batch_metrics.csv (batch_run.py:23-29, RT60=0.5,
+    2 interferers, TFLite mask + hybrid null BF).
+
+Scene families are parameterized (interferer count, fixed or randomized
+geometry, reverb) mirroring simulation.py:126-136's random placement, so
+campaigns explore the robustness envelope rather than one fixed geometry.
+
 Fault tolerance (batch_run.py:47-49's try/except-continue) becomes
 numerical: per-scene metrics are jnp.where-guarded, and non-finite scores
 are masked out of the aggregate instead of aborting the sweep.
@@ -21,18 +35,98 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from azoom.config import PipelineConfig
+from azoom.config import PipelineConfig, RoomConfig, ROOM_DEFAULT
 from azoom.eval.projection import osinr_osir
 from azoom.eval.stoi import stoi
 from azoom.pipelines.oracle import oracle_enhance
 from azoom.sim.farfield import make_scene
+from azoom.sim.scene import simulate_room_scene
 from azoom.sim.signals import speech_like
 
-__all__ = ["oracle_sweep", "sweep_summary", "sharded_sweep"]
+__all__ = ["oracle_sweep", "learned_sweep", "sweep_summary", "sharded_sweep"]
+
+# Fixed anechoic interferer angles: the first two match the reference's
+# canonical 40/130 deg geometry (model_training.py:66-77); more interferers
+# extend symmetrically toward the endfire directions.
+_FIXED_ANGLES = (40.0, 130.0, 20.0, 160.0, 60.0, 120.0)
+
+
+def _synth_sources(key: jax.Array, n_sources: int, n_samples: int, fs: int):
+    """(n_sources, n) speech-like utterances with random fundamentals."""
+    kf, ks = jax.random.split(key)
+    f0s = jax.random.uniform(kf, (n_sources,), minval=100.0, maxval=280.0)
+    keys = jax.random.split(ks, n_sources)
+    return jax.vmap(lambda k, f0: speech_like(k, n_samples, fs, f0))(keys, f0s)
+
+
+def _random_interferer_angles(key: jax.Array, n: int, target_deg: float):
+    """n azimuths uniform over [10, 170] deg excluding +/-15 deg around the
+    target — the anechoic analogue of simulation.py:126-136's random
+    interferer placement."""
+    ku, kb = jax.random.split(key)
+    u = jax.random.uniform(ku, (n,))
+    side = jax.random.bernoulli(kb, 0.5, (n,))
+    lo_width = (target_deg - 15.0) - 10.0
+    hi_width = 170.0 - (target_deg + 15.0)
+    below = 10.0 + u * lo_width
+    above = (target_deg + 15.0) + u * hi_width
+    return jnp.where(side, below, above)
+
+
+def _scene_from_key(
+    k: jax.Array,
+    cfg: PipelineConfig,
+    n_samples: int,
+    n_interferers: int,
+    reverb: bool,
+    randomize: bool,
+    room: RoomConfig,
+) -> dict:
+    """One scene (mixture + answer-key stems) from one PRNG key."""
+    k_sig, k_geo = jax.random.split(k)
+    sigs = _synth_sources(k_sig, n_interferers + 1, n_samples, cfg.fs)
+    if reverb:
+        # Room mode randomizes interferer placement internally for the
+        # 2nd+ interferer (simulation.py:126-134 semantics).
+        return simulate_room_scene(
+            k_geo, sigs[0], sigs[1:], room, reverb=True, fs=cfg.fs
+        )
+    if randomize:
+        angles = _random_interferer_angles(
+            k_geo, n_interferers, cfg.angle_target_deg
+        )
+    else:
+        angles = jnp.asarray(_FIXED_ANGLES[:n_interferers])
+    return make_scene(
+        sigs[0], sigs[1:], cfg.angle_target_deg, angles, cfg.mic_dist, cfg.fs
+    )
+
+
+def _score(out: jnp.ndarray, sc: dict, cfg: PipelineConfig, with_stoi: bool) -> dict:
+    """Projection metrics (+ optional STOI) for one enhanced scene,
+    including the input-side SINR baseline (sinr_in) the CSV needs."""
+    sinr_out, sir_out = osinr_osir(out, sc["target_ref"], sc["interference_ref"])
+    sinr_in, sir_in = osinr_osir(
+        sc["mixture"][0], sc["target_ref"], sc["interference_ref"]
+    )
+    res = {
+        "sir_in": sir_in,
+        "sinr_in": sinr_in,
+        "sir_out": sir_out,
+        "sir_imp": sir_out - sir_in,
+        "sinr_out": sinr_out,
+    }
+    if with_stoi:
+        res["stoi"] = stoi(sc["target_ref"], out, cfg.fs)
+    return res
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_scenes", "n_samples", "with_stoi")
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_scenes", "n_samples", "with_stoi", "n_interferers",
+        "reverb", "randomize", "room",
+    ),
 )
 def oracle_sweep(
     key: jax.Array,
@@ -40,38 +134,71 @@ def oracle_sweep(
     n_scenes: int = 16,
     n_samples: int = 32_000,
     with_stoi: bool = False,
+    n_interferers: int = 2,
+    reverb: bool = False,
+    randomize: bool = False,
+    room: RoomConfig = ROOM_DEFAULT,
 ) -> dict:
-    """Generate + enhance + score n_scenes anechoic oracle runs in one
-    program. Returns per-scene arrays: sir_in, sir_out, sir_imp, sinr_out
-    (and stoi when requested)."""
+    """Generate + enhance + score n_scenes oracle runs in one program.
+
+    Defaults reproduce the round-1 behavior (anechoic, 2 interferers at
+    the fixed 40/130 deg geometry); ``randomize``/``reverb``/
+    ``n_interferers`` open the robustness envelope. Returns per-scene
+    arrays: sir_in, sinr_in, sir_out, sir_imp, sinr_out (+ stoi)."""
     keys = jax.random.split(key, n_scenes)
 
     def one(k):
-        k1, k2, k3, ka = jax.random.split(k, 4)
-        f0s = jax.random.uniform(ka, (3,), minval=100.0, maxval=280.0)
-        tgt = speech_like(k1, n_samples, cfg.fs, f0s[0])
-        i1 = speech_like(k2, n_samples, cfg.fs, f0s[1])
-        i2 = speech_like(k3, n_samples, cfg.fs, f0s[2])
-        sc = make_scene(
-            tgt, jnp.stack([i1, i2]), cfg.angle_target_deg,
-            jnp.asarray([40.0, 130.0]), cfg.mic_dist, cfg.fs,
+        sc = _scene_from_key(
+            k, cfg, n_samples, n_interferers, reverb, randomize, room
         )
         out = oracle_enhance(
             sc["mixture"], sc["target_ref"], sc["interference_ref"], cfg
         )
-        sinr_out, sir_out = osinr_osir(out, sc["target_ref"], sc["interference_ref"])
-        _, sir_in = osinr_osir(
-            sc["mixture"][0], sc["target_ref"], sc["interference_ref"]
+        return _score(out, sc, cfg, with_stoi)
+
+    return jax.vmap(one)(keys)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "model", "n_scenes", "n_samples", "with_stoi", "n_interferers",
+        "reverb", "randomize", "room", "beamformer", "feature_kind",
+    ),
+)
+def learned_sweep(
+    key: jax.Array,
+    cfg: PipelineConfig,
+    model,
+    variables: Any,
+    n_scenes: int = 16,
+    n_samples: int = 32_000,
+    with_stoi: bool = True,
+    n_interferers: int = 2,
+    reverb: bool = True,
+    randomize: bool = True,
+    room: RoomConfig = ROOM_DEFAULT,
+    beamformer: str = "mvdr",
+    feature_kind: str = "logmag_ipd",
+) -> dict:
+    """Blind learned-mask campaign sweep: synth scenes (reverb by default,
+    mirroring batch_run.py:23-29's RT60=0.5 / 2-interferer config), enhance
+    with the trained mask net + selected beamformer ('mvdr' or
+    'hard_null'), and score — all in one vmapped program. The model is
+    static; its variables are a traced pytree (shardable/donatable)."""
+    from azoom.pipelines.learned import learned_enhance
+
+    keys = jax.random.split(key, n_scenes)
+
+    def one(k):
+        sc = _scene_from_key(
+            k, cfg, n_samples, n_interferers, reverb, randomize, room
         )
-        res = {
-            "sir_in": sir_in,
-            "sir_out": sir_out,
-            "sir_imp": sir_out - sir_in,
-            "sinr_out": sinr_out,
-        }
-        if with_stoi:
-            res["stoi"] = stoi(sc["target_ref"], out, cfg.fs)
-        return res
+        out = learned_enhance(
+            sc["mixture"], model, variables, cfg,
+            beamformer=beamformer, feature_kind=feature_kind,
+        )
+        return _score(out, sc, cfg, with_stoi)
 
     return jax.vmap(one)(keys)
 
@@ -88,9 +215,9 @@ def sharded_sweep(
     """Run a vmapped sweep with its scene axis sharded over the mesh.
 
     ``sweep_fn(key, *args, n_scenes=..., **kwargs) -> dict of (B,) arrays``
-    (e.g. :func:`oracle_sweep`). The key split and all compute are sharded;
-    XLA partitions the program so each device synthesizes and scores only
-    its own scenes.
+    (e.g. :func:`oracle_sweep` / :func:`learned_sweep`). The key split and
+    all compute are sharded; XLA partitions the program so each device
+    synthesizes and scores only its own scenes.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -5,7 +5,10 @@ latency); its roadmap targets lower latency via model changes (TODO:6,
 TODO:10 RNN models). This pipeline delivers it: a *unidirectional* BLSTM
 mask estimator (causal by construction — frame t sees only frames <= t)
 feeds the recursive-covariance online MVDR (azoom.stream.online), so the
-whole system has one STFT hop (32 ms) of algorithmic latency.
+system's algorithmic latency is bounded between one STFT hop and one
+window: new output is produced every hop (32 ms at 1024/512 @ 16 kHz),
+but a sample is only final once the iSTFT overlap-add has seen every
+window covering it — worst case one n_fft window (64 ms).
 
 Offline this runs as one jitted program over the full STFT (the causal
 structure is in the ops, not the loop); a deployment would carry the LSTM

@@ -3,7 +3,8 @@
 The reference's lowest-latency option is still a 2 s chunk
 (Final_pipeline/src/config.py:18); SURVEY.md §5 calls out the natural TPU
 generalization: a *recursive* per-frame covariance update, giving
-per-STFT-frame latency (hop / fs = 32 ms) instead of per-chunk (1 s).
+per-STFT-frame operation (one 32 ms hop per step; OLA finalization bounds
+algorithmic latency at hop-to-window, 32-64 ms) instead of per-chunk (1 s).
 
 Implemented as a ``lax.scan`` over STFT frames: each step updates
 exponentially-forgotten mask-weighted covariance statistics and applies the

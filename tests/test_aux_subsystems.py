@@ -121,3 +121,23 @@ def test_report_and_csv(tmp_path, rng):
     lines = csv_path.read_text().strip().splitlines()
     assert lines[0].startswith("Run_ID,SIR_Base,SIR_Enh")
     assert len(lines) == 3
+
+
+def test_pesq_unavailable_renders_na(tmp_path, rng):
+    """When the pesq lib is absent, report + CSV must say N/A, never 0.0
+    (round-1 VERDICT: 0.0 is indistinguishable from a catastrophic score)."""
+    from azoom.eval.pesq_bridge import pesq_scores
+
+    tgt = rng.standard_normal(16_000).astype(np.float32)
+    est = tgt + 0.1 * rng.standard_normal(16_000).astype(np.float32)
+    nb, wb = pesq_scores(tgt, est, 16_000)
+    m = compute_run_metrics(est, tgt + est, tgt, est - tgt, with_perceptual=True)
+    if nb is None:  # environment without the pesq C extension
+        assert m["pesq_wb"] is None and m["pesq_nb"] is None
+        rep = format_report("r", m)
+        assert "N/A (WB)" in rep
+        p = tmp_path / "c.csv"
+        append_to_csv(p, "r", m)
+        assert ",N/A,N/A" in p.read_text()
+    else:  # pesq present: real numbers flow through
+        assert isinstance(m["pesq_wb"], float)

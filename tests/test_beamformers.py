@@ -239,3 +239,60 @@ def test_eigh_2x2_scale_invariant(rng):
             # Same direction up to phase: |<v, v_ref>| = 1.
             dot = np.abs(np.sum(np.conj(vecs[:, :, k]) * vecs_ref[:, :, k], -1))
             np.testing.assert_allclose(dot, 1.0, atol=1e-4, err_msg=f"scale {s}")
+
+
+def test_eig_principal_degenerate_and_scale(rng):
+    """Isotropic A must fall back to e0 (not the zero vector), and tiny
+    anisotropic A must still return unit-norm vectors (ADVICE round 1:
+    the absolute threshold made the fallback unreachable)."""
+    import jax.numpy as jnp
+
+    from azoom.beam.gev import eig_principal_2x2
+
+    # Isotropic: eigenbasis arbitrary -> e0 fallback, unit norm.
+    A_iso = jnp.eye(2, dtype=jnp.complex64) * 3.7
+    v = eig_principal_2x2(A_iso)
+    np.testing.assert_allclose(np.abs(np.asarray(v)), [1.0, 0.0], atol=1e-6)
+
+    # Tiny but perfectly anisotropic: must be unit norm (not norm ~0.01).
+    for scale in (1.0, 1e-8, 1e8):
+        M = rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))
+        A = jnp.asarray(M * scale, jnp.complex64)
+        v = np.asarray(eig_principal_2x2(A))
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5, (scale, np.linalg.norm(v))
+        # Eigen-residual check: A v = lam v for some lam.
+        Av = np.asarray(M * scale) @ v
+        lam = v.conj() @ Av
+        assert np.linalg.norm(Av - lam * v) < 1e-4 * max(scale, 1e-8)
+
+
+def test_gev_weights_isotropic_not_silenced(rng):
+    """R_tgt proportional to R_noise (zero-SNR-gradient case) must not
+    output all-zero weights (round-1 ADVICE: bins were silenced)."""
+    import jax.numpy as jnp
+
+    from azoom.beam.gev import gev_weights
+
+    X = rng.standard_normal((2, 64)) + 1j * rng.standard_normal((2, 64))
+    R = jnp.asarray((X @ X.conj().T) / 64, jnp.complex64)[None]  # (1, 2, 2)
+    w = np.asarray(gev_weights(2.0 * R, R, normalization="none"))
+    assert np.linalg.norm(w) > 0.5, "isotropic GEV silenced the bin"
+
+
+def test_beamwidth_3db_batched():
+    """beamwidth_3db documents an (..., A) contract; a (B, A) pattern must
+    work and match per-row results (round-1 ADVICE: cumsum flattened it)."""
+    import jax.numpy as jnp
+
+    from azoom.beam.zoom import beamwidth_3db
+
+    angles = jnp.linspace(0.0, 180.0, 181)
+    # Two main lobes of different widths around 90 deg.
+    p1 = jnp.exp(-((angles - 90.0) ** 2) / (2 * 5.0**2))
+    p2 = jnp.exp(-((angles - 90.0) ** 2) / (2 * 20.0**2))
+    batched = beamwidth_3db(jnp.stack([p1, p2]), angles, 90.0)
+    singles = jnp.stack(
+        [beamwidth_3db(p1, angles, 90.0), beamwidth_3db(p2, angles, 90.0)]
+    )
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(singles))
+    assert float(batched[1]) > float(batched[0])

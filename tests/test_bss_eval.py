@@ -48,3 +48,17 @@ def test_clean_target_near_perfect():
     res = bss_eval_sources(srcs, srcs[0], filter_len=64)
     assert float(res["sdr"]) > 40.0
     assert float(res["sar"]) > 40.0
+
+
+def test_explicit_target_index():
+    """target_index is static; explicitly passing it (including nonzero)
+    must work (round-1 ADVICE: traced index broke the Python slice)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    refs = jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32)
+    est = refs[1] + 0.01 * jnp.asarray(rng.standard_normal(4096), jnp.float32)
+    r = bss_eval_sources(refs, est, target_index=1, filter_len=64)
+    assert float(r["sir"]) > 20.0
+    r0 = bss_eval_sources(refs, est, target_index=0, filter_len=64)
+    assert float(r0["sir"]) < float(r["sir"])

