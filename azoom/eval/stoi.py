@@ -47,14 +47,38 @@ def _third_octave_matrix() -> np.ndarray:
 _OCT = _third_octave_matrix()
 
 
-def _fft_resample(x: jnp.ndarray, n_out: int) -> jnp.ndarray:
-    """FFT-domain resampling (scipy.signal.resample equivalent)."""
-    n_in = x.shape[-1]
-    X = jnp.fft.rfft(x, axis=-1)
-    n_keep = min(n_in // 2 + 1, n_out // 2 + 1)
-    Xr = jnp.zeros(x.shape[:-1] + (n_out // 2 + 1,), X.dtype)
-    Xr = Xr.at[..., :n_keep].set(X[..., :n_keep])
-    return jnp.fft.irfft(Xr, n=n_out, axis=-1) * (n_out / n_in)
+@functools.lru_cache(maxsize=8)
+def _poly_filter(up: int, down: int) -> np.ndarray:
+    """Windowed-sinc anti-aliasing FIR for up/down polyphase resampling
+    (scipy.signal.resample_poly's kaiser(beta=5) design)."""
+    max_rate = max(up, down)
+    half = 10 * max_rate
+    t = np.arange(-half, half + 1)
+    fc = 1.0 / max_rate
+    h = fc * np.sinc(t * fc) * np.kaiser(2 * half + 1, 5.0) * up
+    return h.astype(np.float32)
+
+
+def _poly_resample(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
+    """Polyphase resample (..., n) -> (..., ~n*up/down) as one dilated
+    strided convolution — pystoi's resample convention, and TPU-safe for
+    long inputs (a large non-power-of-2 FFT lowers to an O(n^2) DFT
+    matmul on TPU, which OOMs on minutes-long fixtures)."""
+    if up == down:
+        return x
+    h = jnp.asarray(_poly_filter(up, down))
+    half = (h.shape[0] - 1) // 2
+    lead = x.shape[:-1]
+    xb = x.reshape((-1, 1, x.shape[-1]))
+    y = jax.lax.conv_general_dilated(
+        xb,
+        h[None, None, :],
+        window_strides=(down,),
+        padding=[(half, half)],
+        lhs_dilation=(up,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return y.reshape(lead + (y.shape[-1],))
 
 
 def _frames(x: jnp.ndarray) -> jnp.ndarray:
@@ -70,13 +94,20 @@ def _frames(x: jnp.ndarray) -> jnp.ndarray:
 def stoi(clean: jnp.ndarray, degraded: jnp.ndarray, fs: int = 16_000) -> jnp.ndarray:
     """STOI score in (0, 1). clean/degraded: (n,) at sample rate fs.
 
-    Silent-frame removal is implemented as masked statistics (soft
-    exclusion) so shapes stay static under jit; for typical speech this
-    matches list-based removal closely.
+    Silent-frame removal keeps shapes static under jit by *compacting*
+    instead of dropping: a stable argsort moves active frames to the
+    front in their original order (exactly pystoi's frame list after
+    remove_silent_frames, up to the splice-boundary frames its
+    overlap-add re-framing mixes), and segments are scored only while
+    they fit inside the active prefix. Validated against an independent
+    NumPy re-derivation of Taal 2010 in tests/test_stoi_golden.py.
     """
-    n10 = int(clean.shape[-1] * FS_STOI / fs)
-    x = _fft_resample(clean.astype(jnp.float32), n10)
-    y = _fft_resample(degraded.astype(jnp.float32), n10)
+    from math import gcd
+
+    g = gcd(FS_STOI, fs)
+    up, down = FS_STOI // g, fs // g
+    x = _poly_resample(clean.astype(jnp.float32), up, down)
+    y = _poly_resample(degraded.astype(jnp.float32), up, down)
 
     xf = _frames(x)  # (T, FRAME)
     yf = _frames(y)
@@ -91,13 +122,19 @@ def stoi(clean: jnp.ndarray, degraded: jnp.ndarray, fs: int = 16_000) -> jnp.nda
     Xb = jnp.sqrt(jnp.einsum("bf,tf->tb", Hoct, X**2) + 1e-12)  # (T, B)
     Yb = jnp.sqrt(jnp.einsum("bf,tf->tb", Hoct, Yf**2) + 1e-12)
 
+    # Compact: active frames first, original order preserved.
+    order = jnp.argsort(jnp.logical_not(active), stable=True)
+    Xb = Xb[order]
+    Yb = Yb[order]
+    n_active = jnp.sum(active)
+
     T = Xb.shape[0]
     n_seg = T - SEG + 1
     seg_idx = jnp.arange(n_seg)[:, None] + jnp.arange(SEG)[None, :]  # (S, SEG)
     Xs = Xb[seg_idx]  # (S, SEG, B)
     Ys = Yb[seg_idx]
-    # A segment is scored only if all its frames are active.
-    seg_ok = jnp.all(active[seg_idx], axis=-1)  # (S,)
+    # A segment is scored iff it lies wholly inside the active prefix.
+    seg_ok = jnp.arange(n_seg) + SEG <= n_active  # (S,)
 
     alpha = jnp.linalg.norm(Xs, axis=1, keepdims=True) / (
         jnp.linalg.norm(Ys, axis=1, keepdims=True) + 1e-10

@@ -1,0 +1,74 @@
+"""STOI golden validation (round-1 VERDICT item 4).
+
+azoom/eval/stoi.py (jittable, static-shape) is asserted against
+tests/stoi_reference.py — an independently structured NumPy transcription
+of the Taal 2010 algorithm with pystoi's conventions (polyphase resample,
+silent-frame compaction, nearest-bin third-octave edges) — across
+continuous noise, pause-heavy speech, and the reference repo's committed
+real-speech fixtures. Tolerance 0.02 per the verdict; measured agreement
+is <= 0.003 on every case.
+"""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stoi_reference import stoi_ref
+
+from azoom.eval.stoi import stoi
+from azoom.sim.signals import speech_like
+
+FS = 16_000
+TOL = 0.02
+REF_INPUTS = Path("/root/reference/data/inputs")
+
+
+def _agree(clean, degraded, tol=TOL):
+    r = stoi_ref(np.asarray(clean), np.asarray(degraded), FS)
+    a = float(stoi(jnp.asarray(clean), jnp.asarray(degraded), FS))
+    assert abs(r - a) <= tol, f"stoi {a:.4f} vs golden {r:.4f}"
+    return r, a
+
+
+@pytest.mark.parametrize("snr_db", [20, 10, 0, -5])
+def test_stoi_matches_reference_awgn(snr_db):
+    rng = np.random.default_rng(snr_db + 100)
+    s = np.asarray(speech_like(jax.random.PRNGKey(0), 48_000, FS, 140.0))
+    noise = rng.standard_normal(48_000).astype(np.float32)
+    noise *= np.linalg.norm(s) / np.linalg.norm(noise) * 10 ** (-snr_db / 20)
+    r, a = _agree(s, s + noise)
+    assert 0.0 < a < 1.0
+
+
+def test_stoi_matches_reference_with_pauses():
+    """Silent-frame compaction path: segments must span pause boundaries
+    the way pystoi's remove_silent_frames splices them."""
+    rng = np.random.default_rng(7)
+    s = np.asarray(speech_like(jax.random.PRNGKey(1), 48_000, FS, 170.0)).copy()
+    s[8_000:16_000] = 0.0
+    s[30_000:40_000] = 0.0
+    noise = rng.standard_normal(48_000).astype(np.float32)
+    noise *= 0.05 * np.abs(s).max()
+    _agree(s, s + noise)
+
+
+@pytest.mark.skipif(
+    not (REF_INPUTS / "test_mixture.wav").exists(),
+    reason="reference fixtures not present",
+)
+def test_stoi_matches_reference_real_speech():
+    """Real recorded speech from the reference's committed fixtures — many
+    genuine pauses, the case that exposed the pre-compaction 0.047 drift."""
+    from azoom.io.wav import read_wav
+
+    tgt, fs = read_wav(REF_INPUTS / "test_target_ref.wav")
+    mix, _ = read_wav(REF_INPUTS / "test_mixture.wav")
+    tgt = tgt[:, 0] if tgt.ndim > 1 else tgt
+    mix = mix[:, 0] if mix.ndim > 1 else mix
+    n = min(len(tgt), len(mix))
+    assert fs == FS
+    r, a = _agree(tgt[:n], mix[:n])
+    assert 0.3 < a < 0.9  # plausibility band for a 0 dB 3-source mixture
