@@ -9,6 +9,7 @@ data-parallel execution over all visible devices.
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def main(argv=None):
@@ -25,6 +26,9 @@ def main(argv=None):
                    help="train on room-acoustics (image-source RIR) scenes")
     p.add_argument("--angle-jitter", type=float, default=0.0,
                    help="randomize source angles by +/- this many degrees")
+    p.add_argument("--corpus", default=None,
+                   help="directory of real WAVs to train on (default: env "
+                        "AZOOM_DATA_DIR if set, else synthesized speech)")
     p.add_argument("--causal", action="store_true",
                    help="blstm only: unidirectional (streaming frame-latency)")
     p.add_argument("--ckpt", default="checkpoints/mask_estimator")
@@ -68,6 +72,7 @@ def main(argv=None):
         n_samples=int(args.seconds * cfg.fs),
         reverb=args.reverb,
         angle_jitter_deg=args.angle_jitter,
+        corpus_root=args.corpus or os.environ.get("AZOOM_DATA_DIR"),
         seed=args.seed,
         checkpoint_dir=args.ckpt,
         resume=not args.no_resume,

@@ -25,7 +25,7 @@ from azoom.sim.farfield import make_scene
 from azoom.sim.signals import speech_like
 from azoom.dsp.stft import stft
 
-__all__ = ["synth_batch", "TRAIN_ANGLES"]
+__all__ = ["synth_batch", "mix_batch", "TRAIN_ANGLES"]
 
 TRAIN_ANGLES = (90.0, 40.0, 130.0)  # target, int1, int2 (model_training.py:66)
 
@@ -61,13 +61,49 @@ def synth_batch(
     """
     keys = jax.random.split(key, batch_size)
 
-    def one(k):
-        k_t, k_i1, k_i2, k_f0, k_a = jax.random.split(k, 5)
+    def sources_of(k):
+        k_t, k_i1, k_i2, k_f0 = jax.random.split(k, 4)
         # Distinct pitch registers per source, randomized per sample.
         f0s = jax.random.uniform(k_f0, (3,), minval=100.0, maxval=280.0)
-        tgt = speech_like(k_t, n_samples, cfg.fs, f0s[0])
-        i1 = speech_like(k_i1, n_samples, cfg.fs, f0s[1])
-        i2 = speech_like(k_i2, n_samples, cfg.fs, f0s[2])
+        return jnp.stack([
+            speech_like(k_t, n_samples, cfg.fs, f0s[0]),
+            speech_like(k_i1, n_samples, cfg.fs, f0s[1]),
+            speech_like(k_i2, n_samples, cfg.fs, f0s[2]),
+        ])
+
+    sources = jax.vmap(sources_of)(keys)  # (B, 3, n)
+    return mix_batch(
+        key, sources, cfg, feature_kind,
+        angle_jitter_deg=angle_jitter_deg, pad_multiple=pad_multiple,
+        reverb=reverb, reverb_max_order=reverb_max_order,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "feature_kind", "pad_multiple", "reverb", "reverb_max_order",
+    ),
+)
+def mix_batch(
+    key: jax.Array,
+    sources: jnp.ndarray,
+    cfg: PipelineConfig,
+    feature_kind: str = "logmag_ipd",
+    angle_jitter_deg: float = 0.0,
+    pad_multiple: int = 16,
+    reverb: bool = False,
+    reverb_max_order: int = 5,
+) -> dict:
+    """Training batch from GIVEN source signals (B, 3, n) — the corpus
+    ingestion path: real recordings from azoom.sim.datasets.get_sources
+    feed the same on-device scene mixing, features, and oracle labels as
+    the synthetic pipeline (world.py:38-91's corpus role)."""
+    batch_size = sources.shape[0]
+    keys = jax.random.split(key, batch_size)
+
+    def one(k, src):
+        tgt, i1, i2 = src[0], src[1], src[2]
         if reverb:
             # Room-acoustics training scenes (image-source RIRs) — goes
             # beyond the reference, which trains anechoic-only
@@ -76,13 +112,13 @@ def synth_batch(
             from azoom.sim.scene import simulate_room_scene
 
             sc = simulate_room_scene(
-                k_a, tgt, jnp.stack([i1, i2]), RoomConfig(),
+                k, tgt, jnp.stack([i1, i2]), RoomConfig(),
                 reverb=True, snr_db=50.0, fs=cfg.fs,
                 max_order=reverb_max_order,
             )
         else:
             angles = jnp.asarray(TRAIN_ANGLES) + angle_jitter_deg * jax.random.uniform(
-                k_a, (3,), minval=-1.0, maxval=1.0
+                k, (3,), minval=-1.0, maxval=1.0
             )
             sc = make_scene(
                 tgt,
@@ -94,7 +130,7 @@ def synth_batch(
             )
         return sc["mixture"], sc["target_ref"], sc["interference_ref"]
 
-    mix, tgt_ref, int_ref = jax.vmap(one)(keys)
+    mix, tgt_ref, int_ref = jax.vmap(one)(keys, sources)
 
     Y = stft(mix, cfg.n_fft, cfg.hop)  # (B, M, F, T)
     S_t = stft(tgt_ref, cfg.n_fft, cfg.hop)

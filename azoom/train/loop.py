@@ -21,6 +21,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax.training import train_state
 
@@ -120,6 +121,7 @@ def fit(
     n_samples: int = 32_000,
     reverb: bool = False,
     angle_jitter_deg: float = 0.0,
+    corpus_root: str | Path | None = None,
     seed: int = 0,
     checkpoint_dir: str | Path | None = None,
     checkpoint_every: int = 200,
@@ -130,6 +132,12 @@ def fit(
     log_fn: Callable[[str], None] = print,
 ) -> FitResult:
     """Train a mask estimator on on-the-fly synthesized scenes.
+
+    ``corpus_root`` (or env AZOOM_DATA_DIR via sim.datasets.get_sources)
+    switches source material from synthesized utterances to random crops
+    of real recordings — the reference's LJSpeech training path
+    (model_training.py:141-148); scene mixing/features/labels still run
+    on device via train.data.mix_batch.
 
     Fault-tolerant: with ``checkpoint_dir`` set, training resumes from the
     latest saved step after interruption (params + Adam moments + batch
@@ -164,15 +172,36 @@ def fit(
             state = jax.tree_util.tree_map(jnp.asarray, restored)
             log_fn(f"[TRAIN] resumed from step {start_step}")
 
+    corpus = None
+    if corpus_root is not None:
+        from azoom.sim.datasets import LocalCorpus
+
+        corpus = LocalCorpus(corpus_root, cfg.fs)
+        if not len(corpus):
+            raise FileNotFoundError(f"no wavs under {corpus_root}")
+        log_fn(f"[TRAIN] corpus: {len(corpus)} files under {corpus_root}")
+
     train_step = make_train_step(mesh, remat=remat)
     losses = []
     key = jax.random.PRNGKey(seed + 1)
     for i in range(start_step, n_steps):
         batch_key = jax.random.fold_in(key, i)
-        batch = synth_batch(
-            batch_key, batch_size, cfg, feature_kind, n_samples,
-            angle_jitter_deg=angle_jitter_deg, reverb=reverb
-        )
+        if corpus is not None:
+            from azoom.train.data import mix_batch
+
+            rng = np.random.default_rng(seed * 1_000_003 + i)
+            sources = corpus.sample_batch(rng, 3 * batch_size, n_samples)
+            batch = mix_batch(
+                batch_key,
+                jnp.asarray(sources.reshape(batch_size, 3, n_samples)),
+                cfg, feature_kind,
+                angle_jitter_deg=angle_jitter_deg, reverb=reverb,
+            )
+        else:
+            batch = synth_batch(
+                batch_key, batch_size, cfg, feature_kind, n_samples,
+                angle_jitter_deg=angle_jitter_deg, reverb=reverb
+            )
         state, loss = train_step(state, batch["features"], batch["label"])
         if (i + 1) % log_every == 0 or i == start_step:
             losses.append((i + 1, float(loss)))
