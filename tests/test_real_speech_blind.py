@@ -1,0 +1,110 @@
+"""Blind learned enhancement on the reference's committed REAL speech.
+
+Round-1 VERDICT item 3: every learned-model number was measured on the
+same synthetic distribution the models were trained on. These tests run
+the bundled mask nets BLIND (no ground truth at inference) on the
+reference repo's real recorded mixtures (readme.md:21-23's fixtures) and
+score against the committed answer-key stems. Thresholds sit ~3 dB under
+the measured values (see RESULTS.md "Real speech, blind").
+
+Skipped when /root/reference is not mounted.
+"""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from azoom.config import PipelineConfig
+from azoom.eval.projection import osinr_osir
+from azoom.io.wav import read_wav
+
+REF_INPUTS = Path("/root/reference/data/inputs")
+
+pytestmark = pytest.mark.skipif(
+    not REF_INPUTS.exists(), reason="reference fixtures not mounted"
+)
+
+# The fixtures' real array is the gen-1 1 cm pair; inference STFT must
+# match the models' training resolution (1024/512).
+CFG = PipelineConfig(n_fft=1024, hop=512, mic_dist=0.01, sigma=1e-7)
+
+
+def _load(mix_f, tgt_f, itf_f):
+    mix, fs = read_wav(REF_INPUTS / mix_f)
+    tgt, _ = read_wav(REF_INPUTS / tgt_f)
+    itf, _ = read_wav(REF_INPUTS / itf_f)
+    tgt = tgt[:, 0] if tgt.ndim > 1 else tgt
+    itf = itf[:, 0] if itf.ndim > 1 else itf
+    n = min(mix.shape[0], len(tgt), len(itf))
+    return jnp.asarray(mix[:n].T), jnp.asarray(tgt[:n]), jnp.asarray(itf[:n])
+
+
+def _imp(out, mix, tgt, itf):
+    _, sir = osinr_osir(out, tgt, itf)
+    _, sir_in = osinr_osir(mix[0], tgt, itf)
+    return float(sir) - float(sir_in)
+
+
+@pytest.fixture(scope="module")
+def anechoic_3src():
+    return _load("test_mixture.wav", "test_target_ref.wav", "test_interferer_ref.wav")
+
+
+@pytest.fixture(scope="module")
+def reverb_2src():
+    return _load(
+        "mixture_2_sources.wav",
+        "target_reference_2.wav",
+        "interference_reference_2.wav",
+    )
+
+
+def test_multigeo_blind_on_real_anechoic(anechoic_3src):
+    """Spacing-robust FPU, blind, on the real 3-source mixture: measured
+    +19.0 dB SIR improvement (vs +12.1 for the 4cm-only fpu_b32)."""
+    from azoom.models.pretrained import load_pretrained_fpu_multigeo
+    from azoom.pipelines.learned import learned_enhance
+
+    mix, tgt, itf = anechoic_3src
+    model, variables = load_pretrained_fpu_multigeo()
+    out = learned_enhance(mix, model, variables, CFG)
+    assert _imp(out, mix, tgt, itf) > 15.0
+
+
+def test_deepfpu_blind_on_real_anechoic(anechoic_3src):
+    """Physics-aware DeepFPU, blind: measured +13.7 dB."""
+    from azoom.models.pretrained import load_pretrained_deepfpu
+    from azoom.pipelines.learned import learned_enhance
+
+    mix, tgt, itf = anechoic_3src
+    model, variables = load_pretrained_deepfpu()
+    out = learned_enhance(mix, model, variables, CFG, feature_kind="physics")
+    assert _imp(out, mix, tgt, itf) > 10.0
+
+
+def test_fpu_reverb_wpe_blind_on_real_reverb(reverb_2src):
+    """Reverb-trained FPU behind WPE dereverb on the real reverberant
+    2-source mixture: measured +5.1 dB (the hardest committed fixture;
+    oracle tops out at 29.9 dB here)."""
+    from azoom.models.pretrained import load_pretrained_fpu_reverb
+    from azoom.pipelines.learned import learned_enhance
+    from azoom.wpe.dereverb import wpe_dereverb
+
+    mix, tgt, itf = reverb_2src
+    model, variables = load_pretrained_fpu_reverb()
+    dereverbed = wpe_dereverb(mix, CFG)
+    out = learned_enhance(dereverbed, model, variables, CFG)
+    assert _imp(out, mix, tgt, itf) > 3.0
+
+
+def test_autosteer_blind_finds_target_on_real_speech(anechoic_3src):
+    """Fully blind autosteer (DOA + IPD mask + MVDR) must locate the real
+    talker near broadside and improve SIR."""
+    from azoom.pipelines.autosteer import autosteer_enhance
+
+    mix, tgt, itf = anechoic_3src
+    out, theta = autosteer_enhance(mix, CFG)
+    assert abs(float(theta) - 90.0) < 10.0
+    assert _imp(out, mix, tgt, itf) > 5.0
