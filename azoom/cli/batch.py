@@ -38,6 +38,10 @@ def build_parser():
     p.add_argument("--duration", type=float, default=2.0)
     p.add_argument("--max-order", type=int, default=None,
                    help="image-source order for per-run simulation")
+    p.add_argument("--chunk-scenes", type=int, default=64,
+                   help="scenes per compiled step in vectorized mode; the "
+                        "same XLA program is re-invoked with fresh keys, so "
+                        "a 10k-scene campaign compiles once and streams")
     return p
 
 
@@ -129,17 +133,36 @@ def run_vectorized(args):
             f"beamformer {args.beamformer!r} is not available in vectorized "
             "mode; use --per-run"
         )
+    chunk = max(n_dev, min(args.chunk_scenes, n))
+    chunk -= chunk % n_dev
     print(
         f"[BATCH] vectorized sweep: {n} scenes over {n_dev} device(s) — "
         f"{args.beamformer}, {args.interferers} interferer(s), "
-        f"{'reverb' if reverb else 'anechoic'}"
+        f"{'reverb' if reverb else 'anechoic'}, {chunk} scenes/step"
     )
-    if n_dev > 1:
-        mesh = make_mesh()
-        with mesh:
-            res = sharded_sweep(sweep_fn, key, mesh, n, *sweep_args, **common)
-    else:
-        res = sweep_fn(key, *sweep_args, n_scenes=n, **common)
+
+    import numpy as np
+
+    def run_chunk(k, m):
+        if n_dev > 1:
+            mesh = make_mesh()
+            with mesh:
+                return sharded_sweep(sweep_fn, k, mesh, m, *sweep_args, **common)
+        return sweep_fn(k, *sweep_args, n_scenes=m, **common)
+
+    parts = []
+    done = 0
+    step = 0
+    while done < n:
+        m = min(chunk, n - done)
+        m += (-m) % n_dev
+        parts.append(run_chunk(jax.random.fold_in(key, step), m))
+        done += m
+        step += 1
+    res = {
+        name: np.concatenate([np.asarray(p[name]) for p in parts])[:n]
+        for name in parts[0]
+    }
 
     csv_path = Path(args.data_root) / "results" / "batch_metrics.csv"
     for i in range(args.n):
