@@ -41,6 +41,10 @@ class AudioZoom:
         loading (0 = wide, 1 = maximally narrow).
       enhance_fn: optional override (M, win) -> (win,); defaults to the
         blind autosteer pipeline under the current zoom state.
+      model: optional bundled mask-net name ('fpu', 'fpu_reverb',
+        'fpu_multigeo', 'deepfpu') — routes enhancement through the
+        learned pipeline instead of autosteer. Use 'fpu_multigeo' for
+        arrays whose spacing differs from the 4 cm training default.
     """
 
     cfg: PipelineConfig = PipelineConfig(mic_dist=0.04)
@@ -48,8 +52,24 @@ class AudioZoom:
     fov_deg: float = 60.0
     zoom: float = 0.5
     enhance_fn: Callable | None = None
+    model: str | None = None
 
     def __post_init__(self):
+        self._mask_net = None
+        if self.model is not None:
+            from azoom.models import pretrained
+
+            loaders = {
+                "fpu": (pretrained.load_pretrained_fpu, "logmag_ipd"),
+                "fpu_reverb": (pretrained.load_pretrained_fpu_reverb, "logmag_ipd"),
+                "fpu_multigeo": (
+                    pretrained.load_pretrained_fpu_multigeo, "logmag_ipd"
+                ),
+                "deepfpu": (pretrained.load_pretrained_deepfpu, "physics"),
+            }
+            loader, feats = loaders[self.model]
+            net, variables = loader()
+            self._mask_net = (net, variables, feats)
         self._reset_stream()
 
     # -- zoom state ---------------------------------------------------------
@@ -72,6 +92,13 @@ class AudioZoom:
         )
         if self.enhance_fn is not None:
             return self.enhance_fn(window)
+        if self._mask_net is not None:
+            from azoom.pipelines.learned import learned_enhance
+
+            net, variables, feats = self._mask_net
+            return learned_enhance(
+                window, net, variables, cfg, feature_kind=feats
+            )
         out, _ = autosteer_enhance(
             window, cfg, fov_center_deg=self.direction_deg,
             fov_width_deg=self.fov_deg,

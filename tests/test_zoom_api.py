@@ -62,3 +62,25 @@ def test_streaming_passthrough_reconstruction(rng):
     out2 = run(1_234)
     k = min(len(out), len(out2))
     np.testing.assert_allclose(out[:k], out2[:k], atol=1e-5)
+
+
+def test_zoom_api_with_bundled_model():
+    """model= routes the facade through a bundled learned mask net."""
+    import jax
+
+    from azoom.config import PipelineConfig
+    from azoom.eval.projection import osinr_osir
+    from azoom.sim.farfield import make_scene
+    from azoom.sim.signals import speech_like
+
+    cfg = PipelineConfig(mic_dist=0.04)
+    k = jax.random.split(jax.random.PRNGKey(11), 2)
+    tgt = speech_like(k[0], 32_000, cfg.fs, 150.0)
+    i1 = speech_like(k[1], 32_000, cfg.fs, 230.0)
+    sc = make_scene(tgt, i1[None], 90.0, jnp.asarray([40.0]), cfg.mic_dist, cfg.fs)
+
+    az = AudioZoom(cfg=cfg, model="fpu_multigeo")
+    out = az.enhance(np.asarray(sc["mixture"]))
+    _, sir = osinr_osir(jnp.asarray(out), sc["target_ref"], sc["interference_ref"])
+    _, sir_in = osinr_osir(sc["mixture"][0], sc["target_ref"], sc["interference_ref"])
+    assert float(sir) - float(sir_in) > 10.0
