@@ -42,6 +42,9 @@ def build_parser():
                    help="scenes per compiled step in vectorized mode; the "
                         "same XLA program is re-invoked with fresh keys, so "
                         "a 10k-scene campaign compiles once and streams")
+    p.add_argument("--no-pesq", action="store_true",
+                   help="skip host-side PESQ scoring in vectorized mode "
+                        "(saves the waveform fetch + ~0.1 s/scene on host)")
     return p
 
 
@@ -121,6 +124,7 @@ def run_vectorized(args):
         n_interferers=args.interferers,
         reverb=reverb,
         randomize=not args.fixed_angles,
+        with_waveforms=not args.no_pesq,
     )
     if args.beamformer == "oracle":
         sweep_fn, sweep_args = oracle_sweep, (cfg,)
@@ -150,13 +154,28 @@ def run_vectorized(args):
                 return sharded_sweep(sweep_fn, k, mesh, m, *sweep_args, **common)
         return sweep_fn(k, *sweep_args, n_scenes=m, **common)
 
+    # Host-side perceptual scoring per streamed chunk: waveforms are
+    # fetched, PESQ'd (azoom.eval.pesq_bridge — ITU lib or the native
+    # P.862 implementation), and dropped before the next chunk so a
+    # 10k-scene campaign never holds more than one chunk of audio.
     parts = []
+    pesq_nb_all, pesq_wb_all = [], []
     done = 0
     step = 0
     while done < n:
         m = min(chunk, n - done)
         m += (-m) % n_dev
-        parts.append(run_chunk(jax.random.fold_in(key, step), m))
+        p = run_chunk(jax.random.fold_in(key, step), m)
+        if not args.no_pesq:
+            from azoom.eval.pesq_bridge import pesq_scores
+
+            enh = np.asarray(p.pop("enhanced"))
+            tgt = np.asarray(p.pop("target"))
+            for j in range(enh.shape[0]):
+                nb, wb = pesq_scores(tgt[j], enh[j], cfg.fs)
+                pesq_nb_all.append(nb)
+                pesq_wb_all.append(wb)
+        parts.append(p)
         done += m
         step += 1
     res = {
@@ -173,11 +192,20 @@ def run_vectorized(args):
             "sinr_b": float(res["sinr_in"][i]),
             "sinr_s": float(res["sinr_out"][i]),
             "stoi": float(res["stoi"][i]),
-            "pesq_wb": None,  # honest N/A: pesq lib unavailable here
-            "pesq_nb": None,
+            "pesq_wb": pesq_wb_all[i] if pesq_wb_all else None,
+            "pesq_nb": pesq_nb_all[i] if pesq_nb_all else None,
         }
         append_to_csv(csv_path, f"{args.prefix}_{args.start + i:03d}", m)
     summ = sweep_summary(res)
+    if pesq_wb_all:
+        wb_arr = np.asarray([v for v in pesq_wb_all[: args.n] if v is not None])
+        nb_arr = np.asarray([v for v in pesq_nb_all[: args.n] if v is not None])
+        if wb_arr.size:
+            print(
+                f"[BATCH] pesq_wb: mean {wb_arr.mean():.3f} "
+                f"[{wb_arr.min():.3f}, {wb_arr.max():.3f}]  "
+                f"pesq_nb: mean {nb_arr.mean():.3f}"
+            )
     print(
         f"[BATCH] sir_imp: mean {summ['sir_imp']['mean']:.2f} dB, "
         f"std {summ['sir_imp']['std']:.2f}, n_failed {summ['sir_imp']['n_failed']}"

@@ -1,11 +1,14 @@
-"""Optional host-side PESQ bridge.
+"""Host-side PESQ with a native fallback.
 
-PESQ is an ITU-T C implementation with no JAX port; the reference keeps it
-as an optional dependency behind a guard (Final_pipeline/src/metrics.py:
-8-14, "PESQ library not found. Install with: pip install pesq"). Same
-policy here: if the ``pesq`` package exists it is used on host; otherwise
-scores come back as None and every caller degrades gracefully. Device
-pipelines never depend on this module.
+The reference keeps PESQ as an optional dependency behind a guard
+(Final_pipeline/src/metrics.py:8-14, "PESQ library not found. Install
+with: pip install pesq"). Here the policy is stronger: if the ``pesq``
+package (the ITU C extension) exists it is used; otherwise scoring falls
+back to the from-scratch :mod:`azoom.eval.pesq_native` implementation so
+the framework always has perceptual-quality capability. ``PESQ_BACKEND``
+records which one produced the numbers ("itu" / "native"); the native
+estimator's conformance caveats are documented in its module docstring.
+Device pipelines never depend on this module.
 """
 
 from __future__ import annotations
@@ -15,24 +18,25 @@ import numpy as np
 try:  # pragma: no cover - environment-dependent
     from pesq import pesq as _pesq
 
-    PESQ_AVAILABLE = True
+    PESQ_BACKEND = "itu"
 except ImportError:  # pragma: no cover
-    _pesq = None
-    PESQ_AVAILABLE = False
+    from azoom.eval.pesq_native import pesq_native as _pesq
 
-__all__ = ["PESQ_AVAILABLE", "pesq_scores"]
+    PESQ_BACKEND = "native"
+
+PESQ_AVAILABLE = True  # always: the native fallback is built in
+
+__all__ = ["PESQ_AVAILABLE", "PESQ_BACKEND", "pesq_scores"]
 
 
 def pesq_scores(
     ref: np.ndarray, deg: np.ndarray, fs: int
 ) -> tuple[float | None, float | None]:
-    """(narrowband, wideband) PESQ, or (None, None) when unavailable.
+    """(narrowband, wideband) MOS-LQO, or None per mode when inapplicable.
 
     Mirrors PESQEvaluator.evaluate (metrics.py:48-66): NB at 8/16 kHz, WB
     only at 16 kHz; errors are swallowed into None.
     """
-    if not PESQ_AVAILABLE:
-        return None, None
     nb = wb = None
     ref = np.asarray(ref, np.float32)
     deg = np.asarray(deg, np.float32)

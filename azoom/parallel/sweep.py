@@ -125,7 +125,7 @@ def _score(out: jnp.ndarray, sc: dict, cfg: PipelineConfig, with_stoi: bool) -> 
     jax.jit,
     static_argnames=(
         "cfg", "n_scenes", "n_samples", "with_stoi", "n_interferers",
-        "reverb", "randomize", "room",
+        "reverb", "randomize", "room", "with_waveforms",
     ),
 )
 def oracle_sweep(
@@ -138,13 +138,16 @@ def oracle_sweep(
     reverb: bool = False,
     randomize: bool = False,
     room: RoomConfig = ROOM_DEFAULT,
+    with_waveforms: bool = False,
 ) -> dict:
     """Generate + enhance + score n_scenes oracle runs in one program.
 
     Defaults reproduce the round-1 behavior (anechoic, 2 interferers at
     the fixed 40/130 deg geometry); ``randomize``/``reverb``/
     ``n_interferers`` open the robustness envelope. Returns per-scene
-    arrays: sir_in, sinr_in, sir_out, sir_imp, sinr_out (+ stoi)."""
+    arrays: sir_in, sinr_in, sir_out, sir_imp, sinr_out (+ stoi;
+    ``with_waveforms`` adds the (B, n) enhanced/target pairs so host-side
+    perceptual scoring — PESQ — can run after the device sweep)."""
     keys = jax.random.split(key, n_scenes)
 
     def one(k):
@@ -154,7 +157,11 @@ def oracle_sweep(
         out = oracle_enhance(
             sc["mixture"], sc["target_ref"], sc["interference_ref"], cfg
         )
-        return _score(out, sc, cfg, with_stoi)
+        res = _score(out, sc, cfg, with_stoi)
+        if with_waveforms:
+            res["enhanced"] = out
+            res["target"] = sc["target_ref"]
+        return res
 
     return jax.vmap(one)(keys)
 
@@ -164,6 +171,7 @@ def oracle_sweep(
     static_argnames=(
         "cfg", "model", "n_scenes", "n_samples", "with_stoi", "n_interferers",
         "reverb", "randomize", "room", "beamformer", "feature_kind",
+        "with_waveforms",
     ),
 )
 def learned_sweep(
@@ -180,6 +188,7 @@ def learned_sweep(
     room: RoomConfig = ROOM_DEFAULT,
     beamformer: str = "mvdr",
     feature_kind: str = "logmag_ipd",
+    with_waveforms: bool = False,
 ) -> dict:
     """Blind learned-mask campaign sweep: synth scenes (reverb by default,
     mirroring batch_run.py:23-29's RT60=0.5 / 2-interferer config), enhance
@@ -198,7 +207,11 @@ def learned_sweep(
             sc["mixture"], model, variables, cfg,
             beamformer=beamformer, feature_kind=feature_kind,
         )
-        return _score(out, sc, cfg, with_stoi)
+        res = _score(out, sc, cfg, with_stoi)
+        if with_waveforms:
+            res["enhanced"] = out
+            res["target"] = sc["target_ref"]
+        return res
 
     return jax.vmap(one)(keys)
 
