@@ -3,14 +3,17 @@
 TPU-native equivalent of the hard IPD mask in
 rt_av_zoom/core/masked_mvdr.py:37-46: TF bins whose inter-channel phase
 difference deviates from the target direction's expected IPD are flagged as
-noise-dominated.
+noise-dominated. Also implements the reference roadmap's "visual-guided
+covariance gating" (TODO:12): the camera's field of view gates which TF
+bins feed the noise spatial covariance.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["ipd", "hard_geometric_noise_mask"]
+__all__ = ["ipd", "hard_geometric_noise_mask", "fov_noise_gate", "apply_fov_gate"]
 
 
 def ipd(Y: jnp.ndarray) -> jnp.ndarray:
@@ -46,3 +49,62 @@ def ipd_deviation_noise_mask(
     # unimplemented on some TPU runtimes).
     dev = jnp.mod(diff + jnp.pi, 2.0 * jnp.pi) - jnp.pi
     return jnp.clip(jnp.abs(dev) / (width * jnp.pi), 0.0, 1.0).astype(jnp.float32)
+
+
+def fov_noise_gate(
+    Y: jnp.ndarray,
+    center_deg: float | jnp.ndarray,
+    fov_deg: float | jnp.ndarray,
+    mic_dist: float,
+    fs: int,
+    c: float = 343.0,
+    softness_deg: float = 10.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Visual-guided covariance gate (reference roadmap TODO:12).
+
+    The camera's zoom region defines what counts as "target": per-bin DOA
+    estimates (azoom.masks.duet.bin_doa) are scored against the field of
+    view [center - fov/2, center + fov/2].
+
+    Returns ``(gate, protect, valid)``, all (..., F, T):
+      * ``gate`` in [0, 1] — outside-the-FOV score (1 = confidently
+        interference): these bins enter the noise covariance at full
+        weight even when a mask net misses them.
+      * ``protect`` in [0, 1] — a protection cone of ``min(fov/2, 15)``
+        degrees around the look direction: bins whose spatial cue lands
+        inside it are *excluded* from the noise covariance, preventing
+        MPDR-style target self-cancellation when the camera direction is
+        only approximately right. (The cap keeps a wide FOV from vetoing
+        the net everywhere — "inside a wide FOV" carries no target
+        evidence, but "within 15 degrees of the look direction" does.)
+      * ``valid`` — bins with a usable spatial cue (below the aliasing
+        limit, physical |cos| <= 1); invalid bins defer to the mask net.
+
+    Combine with :func:`apply_fov_gate`; plumbed end to end by
+    :func:`azoom.pipelines.learned.learned_enhance` (``fov_deg``).
+    """
+    from azoom.masks.duet import bin_doa
+
+    theta, valid = bin_doa(Y, mic_dist, fs, c)
+    dev = jnp.abs(theta - center_deg)
+    gate = jax.nn.sigmoid((dev - 0.5 * fov_deg) / softness_deg)
+    cone = jnp.minimum(0.5 * fov_deg, 15.0)
+    protect = jax.nn.sigmoid((cone - dev) / softness_deg)
+    return gate.astype(jnp.float32), protect.astype(jnp.float32), valid
+
+
+def apply_fov_gate(
+    noise_mask: jnp.ndarray,
+    gate: jnp.ndarray,
+    protect: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Combine a mask-net noise mask with the visual gate.
+
+    Valid-cue bins: ``clip(max(noise, gate) - protect, 0, 1)`` — outside
+    bins are added to the noise covariance, protection-cone bins are
+    removed from it, everything else keeps the net's decision. Invalid
+    bins keep the net's decision unchanged.
+    """
+    gated = jnp.clip(jnp.maximum(noise_mask, gate) - protect, 0.0, 1.0)
+    return jnp.where(valid, gated, noise_mask)

@@ -70,7 +70,7 @@ def predict_mask(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "cfg", "beamformer", "feature_kind", "length",
-                     "use_pallas"),
+                     "use_pallas", "fov_deg"),
 )
 def learned_enhance(
     mixture: jnp.ndarray,
@@ -82,6 +82,7 @@ def learned_enhance(
     mask_floor: float = 0.05,
     length: int | None = None,
     use_pallas: bool = False,
+    fov_deg: float | None = None,
 ) -> jnp.ndarray:
     """Whole-signal learned enhancement: (..., M, n) -> (..., n).
 
@@ -92,12 +93,24 @@ def learned_enhance(
     'hard_null'. ``use_pallas`` routes the MVDR stage through the fused
     TPU kernel (azoom.pallas) — ~2.7x faster than the XLA path on v5e and
     computed in full f32 (XLA's default TPU matmul precision is lower).
+    ``fov_deg`` enables visual-guided covariance gating (roadmap TODO:12):
+    TF bins whose spatial cue is confidently outside the camera's field of
+    view are added to the noise covariance even when the mask net misses
+    them.
     """
     n = mixture.shape[-1]
     length = n if length is None else length
 
     Y = stft(mixture, cfg.n_fft, cfg.hop)
     tgt_mask = predict_mask(model, variables, Y, feature_kind)
+    noise_mask = 1.0 - tgt_mask
+    if fov_deg is not None:
+        from azoom.masks.geometric import apply_fov_gate, fov_noise_gate
+
+        gate, protect, valid = fov_noise_gate(
+            Y, cfg.angle_target_deg, fov_deg, cfg.mic_dist, cfg.fs, cfg.c
+        )
+        noise_mask = apply_fov_gate(noise_mask, gate, protect, valid)
     freqs = rfft_freqs(cfg.n_fft, cfg.fs)
 
     if beamformer == "mvdr":
@@ -107,7 +120,7 @@ def learned_enhance(
             from azoom.pallas.mvdr_kernel import masked_mvdr_pallas as mvdr_fn
         S = mvdr_fn(
             Y,
-            1.0 - tgt_mask,
+            noise_mask,
             d,
             freqs,
             target_mask=tgt_mask,
@@ -125,7 +138,10 @@ def learned_enhance(
             from azoom.pallas.nullsteer_kernel import (
                 hybrid_hard_null_pallas as null_fn,
             )
-        S = null_fn(Y, tgt_mask, d, freqs) * tgt_mask
+        # The null beamformer derives its interference covariance from
+        # (1 - its mask argument), so the FOV-gated noise mask enters as
+        # 1 - noise_mask; the spectral post-filter stays the raw net mask.
+        S = null_fn(Y, 1.0 - noise_mask, d, freqs) * tgt_mask
     else:
         raise ValueError(f"unknown beamformer {beamformer!r}")
 

@@ -96,8 +96,12 @@ class AudioZoom:
             from azoom.pipelines.learned import learned_enhance
 
             net, variables, feats = self._mask_net
+            # The camera FOV gates the noise covariance (visual-guided
+            # covariance gating): spatial cues outside the zoom region are
+            # interference even when the mask net misses them.
             return learned_enhance(
-                window, net, variables, cfg, feature_kind=feats
+                window, net, variables, cfg, feature_kind=feats,
+                fov_deg=float(self.fov_deg),
             )
         out, _ = autosteer_enhance(
             window, cfg, fov_center_deg=self.direction_deg,
