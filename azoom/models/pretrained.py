@@ -62,18 +62,19 @@ def bundled_artifact_path(model: str = "fpu") -> Path | None:
     return path if path.exists() else None
 
 
-def load_pretrained_fpu():
+def load_pretrained_fpu(quant: bool = False):
     """Returns (model, variables) for the bundled FreqPreservingUNet
-    (logmag+IPD features), or raises FileNotFoundError."""
+    (logmag+IPD features), or raises FileNotFoundError. ``quant=True``
+    serves it on the int8 MXU path (same checkpoint)."""
     from azoom.models.quantize import load_quantized
     from azoom.models.unet import FreqPreservingUNet
 
     if not _FPU_ARTIFACT.exists():
         raise FileNotFoundError(f"bundled artifact missing: {_FPU_ARTIFACT}")
-    return FreqPreservingUNet(base=32), load_quantized(_FPU_ARTIFACT)
+    return FreqPreservingUNet(base=32, quant=quant), load_quantized(_FPU_ARTIFACT)
 
 
-def load_pretrained_fpu_reverb():
+def load_pretrained_fpu_reverb(quant: bool = False):
     """Returns (model, variables) for the reverb-robust FreqPreservingUNet
     (logmag+IPD features, trained on room-acoustics scenes)."""
     from azoom.models.quantize import load_quantized
@@ -83,10 +84,10 @@ def load_pretrained_fpu_reverb():
         raise FileNotFoundError(
             f"bundled artifact missing: {_FPU_REVERB_ARTIFACT}"
         )
-    return FreqPreservingUNet(base=32), load_quantized(_FPU_REVERB_ARTIFACT)
+    return FreqPreservingUNet(base=32, quant=quant), load_quantized(_FPU_REVERB_ARTIFACT)
 
 
-def load_pretrained_fpu_multigeo():
+def load_pretrained_fpu_multigeo(quant: bool = False):
     """Returns (model, variables) for the mic-spacing-robust
     FreqPreservingUNet — the recommended model for real arrays whose
     geometry differs from the 4 cm training default."""
@@ -97,7 +98,7 @@ def load_pretrained_fpu_multigeo():
         raise FileNotFoundError(
             f"bundled artifact missing: {_FPU_MULTIGEO_ARTIFACT}"
         )
-    return FreqPreservingUNet(base=32), load_quantized(_FPU_MULTIGEO_ARTIFACT)
+    return FreqPreservingUNet(base=32, quant=quant), load_quantized(_FPU_MULTIGEO_ARTIFACT)
 
 
 def load_pretrained_crn_causal():
@@ -117,7 +118,7 @@ def load_pretrained_crn_causal():
     )
 
 
-def load_pretrained_deepfpu():
+def load_pretrained_deepfpu(quant: bool = False):
     """Returns (model, variables) for the bundled DeepFPU (physics-aware
     4-channel features), or raises FileNotFoundError."""
     from azoom.models.quantize import load_quantized
@@ -125,4 +126,4 @@ def load_pretrained_deepfpu():
 
     if not _DEEPFPU_ARTIFACT.exists():
         raise FileNotFoundError(f"bundled artifact missing: {_DEEPFPU_ARTIFACT}")
-    return DeepFPU(base=32), load_quantized(_DEEPFPU_ARTIFACT)
+    return DeepFPU(base=32, quant=quant), load_quantized(_DEEPFPU_ARTIFACT)

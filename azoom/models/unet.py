@@ -15,6 +15,13 @@ Design differences from the reference (deliberate, TPU-first):
     torch originals are NCHW.
   * ``dtype`` parameter for bfloat16 activations (params stay float32) —
     convs land on the MXU at full throughput.
+  * ``quant=True`` switches every 3x3 conv to int8 x int8 -> int32 MXU
+    compute (``QConv``): weights are quantized per-output-channel and
+    activations per-tensor on the fly, so the parameter tree (and thus
+    every bundled checkpoint) is unchanged. v5e's int8 MXU path runs the
+    large conv layers ~1.7x faster than bf16 (measured, see RESULTS.md);
+    the reference's analogue is the dynamic-range-quantized TFLite
+    interpreter (tf_lite_version/model_neural.py:180-187).
   * inputs are padded to a multiple of 2^depth time frames by the caller
     (``pad_frames``) so every shape is static under jit; the reference
     instead patches mismatches with nearest interpolation at runtime
@@ -24,9 +31,55 @@ Design differences from the reference (deliberate, TPU-first):
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-__all__ = ["FreqPreservingUNet", "DeepFPU", "pad_frames", "time_pool_factor"]
+__all__ = [
+    "FreqPreservingUNet", "DeepFPU", "QConv", "pad_frames", "time_pool_factor",
+]
+
+
+class QConv(nn.Module):
+    """Drop-in ``nn.Conv`` replacement computing int8 x int8 -> int32 on
+    the MXU (v5e: 2x the bf16 macs/cycle). Same parameter tree as nn.Conv
+    ("kernel" (kh, kw, cin, cout) float32 + "bias"), so bundled float
+    checkpoints load unchanged; quantization happens inside the graph:
+    per-output-channel symmetric weight scales, per-tensor dynamic
+    activation scale, dequantized into ``dtype`` after the conv.
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    padding: str = "SAME"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            self.kernel_size + (cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(jnp.float32)
+        w_scale = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0
+        w_scale = jnp.where(w_scale == 0, 1.0, w_scale)
+        w_q = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+
+        xf = x.astype(jnp.float32)
+        x_scale = jnp.max(jnp.abs(xf)) / 127.0 + 1e-30
+        x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+
+        dn = jax.lax.conv_dimension_numbers(
+            x_q.shape, w_q.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            x_q, w_q, (1, 1), self.padding,
+            dimension_numbers=dn, preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (x_scale * w_scale) + bias
+        return y.astype(self.dtype)
 
 
 def time_pool_factor(depth: int) -> int:
@@ -46,15 +99,24 @@ def pad_frames(x: jnp.ndarray, multiple: int, axis: int = -2) -> tuple[jnp.ndarr
     return jnp.pad(x, widths), t
 
 
+def _conv3x3(features, dtype, quant, name):
+    """nn.Conv or its int8 twin, pinned to the nn.Conv auto-name so the
+    parameter tree is identical either way (checkpoint-compatible)."""
+    if quant:
+        return QConv(features, (3, 3), padding="SAME", dtype=dtype, name=name)
+    return nn.Conv(features, (3, 3), padding="SAME", dtype=dtype, name=name)
+
+
 class ConvBNRelu(nn.Module):
     """Conv 3x3 -> BatchNorm -> ReLU (the reference's basic cell)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = _conv3x3(self.features, self.dtype, self.quant, "Conv_0")(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         return nn.relu(x)
 
@@ -64,11 +126,12 @@ class DoubleConv(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNRelu(self.features, self.dtype)(x, train)
-        return ConvBNRelu(self.features, self.dtype)(x, train)
+        x = ConvBNRelu(self.features, self.dtype, self.quant)(x, train)
+        return ConvBNRelu(self.features, self.dtype, self.quant)(x, train)
 
 
 class ResBlock(nn.Module):
@@ -77,13 +140,14 @@ class ResBlock(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        h = _conv3x3(self.features, self.dtype, self.quant, "Conv_0")(x)
         h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        h = _conv3x3(self.features, self.dtype, self.quant, "Conv_1")(h)
         h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
         return nn.relu(x + h)
 
@@ -106,22 +170,23 @@ class FreqPreservingUNet(nn.Module):
 
     base: int = 32
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        d = self.dtype
+        d, q = self.dtype, self.quant
         x = x.astype(d)
-        e1 = DoubleConv(self.base, d)(x, train)
-        e2 = DoubleConv(self.base * 2, d)(_pool_time(e1), train)
-        e3 = DoubleConv(self.base * 4, d)(_pool_time(e2), train)
-        b = DoubleConv(self.base * 8, d)(_pool_time(e3), train)
+        e1 = DoubleConv(self.base, d, q)(x, train)
+        e2 = DoubleConv(self.base * 2, d, q)(_pool_time(e1), train)
+        e3 = DoubleConv(self.base * 4, d, q)(_pool_time(e2), train)
+        b = DoubleConv(self.base * 8, d, q)(_pool_time(e3), train)
 
         u3 = _up_time(b, self.base * 4, d)
-        d3 = DoubleConv(self.base * 4, d)(jnp.concatenate([u3, e3], -1), train)
+        d3 = DoubleConv(self.base * 4, d, q)(jnp.concatenate([u3, e3], -1), train)
         u2 = _up_time(d3, self.base * 2, d)
-        d2 = DoubleConv(self.base * 2, d)(jnp.concatenate([u2, e2], -1), train)
+        d2 = DoubleConv(self.base * 2, d, q)(jnp.concatenate([u2, e2], -1), train)
         u1 = _up_time(d2, self.base, d)
-        d1 = DoubleConv(self.base, d)(jnp.concatenate([u1, e1], -1), train)
+        d1 = DoubleConv(self.base, d, q)(jnp.concatenate([u1, e1], -1), train)
 
         out = nn.Conv(1, (1, 1), dtype=jnp.float32)(d1.astype(jnp.float32))
         return nn.sigmoid(out)[..., 0]
@@ -136,34 +201,35 @@ class DeepFPU(nn.Module):
 
     base: int = 32
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        d = self.dtype
+        d, q = self.dtype, self.quant
         x = x.astype(d)
 
         def enc_level(h, feats, first=False):
             if first:
-                return DoubleConv(feats, d)(h, train)
-            h = ConvBNRelu(feats, d)(h, train)
-            return ResBlock(feats, d)(h, train)
+                return DoubleConv(feats, d, q)(h, train)
+            h = ConvBNRelu(feats, d, q)(h, train)
+            return ResBlock(feats, d, q)(h, train)
 
         e1 = enc_level(x, self.base, first=True)
         e2 = enc_level(_pool_time(e1), self.base * 2)
         e3 = enc_level(_pool_time(e2), self.base * 4)
         e4 = enc_level(_pool_time(e3), self.base * 8)
 
-        b = ConvBNRelu(self.base * 16, d)(_pool_time(e4), train)
-        b = ResBlock(self.base * 16, d)(b, train)
-        b = ResBlock(self.base * 16, d)(b, train)
+        b = ConvBNRelu(self.base * 16, d, q)(_pool_time(e4), train)
+        b = ResBlock(self.base * 16, d, q)(b, train)
+        b = ResBlock(self.base * 16, d, q)(b, train)
 
         def dec_level(h, skip, feats, last=False):
             h = _up_time(h, feats, d)
             h = jnp.concatenate([h, skip], -1)
             if last:
-                return DoubleConv(feats, d)(h, train)
-            h = ConvBNRelu(feats, d)(h, train)
-            return ResBlock(feats, d)(h, train)
+                return DoubleConv(feats, d, q)(h, train)
+            h = ConvBNRelu(feats, d, q)(h, train)
+            return ResBlock(feats, d, q)(h, train)
 
         h = dec_level(b, e4, self.base * 8)
         h = dec_level(h, e3, self.base * 4)

@@ -42,10 +42,13 @@ def main():
     cfg = PipelineConfig(mic_dist=0.04)
     fs = cfg.fs
 
-    # Flagship model at production size (DeepFPU base=32, 4-ch physics),
-    # bf16 activations: convs hit the MXU at full throughput; the output
-    # head and all beamforming math stay f32.
-    model = DeepFPU(base=32, dtype=jnp.bfloat16)
+    # Flagship model at production size (DeepFPU base=32, 4-ch physics).
+    # quant=True = the int8 serving path: 3x3 convs run int8 x int8 ->
+    # int32 on the MXU (2x bf16 macs/cycle on v5e; 90.9 -> 77.3 ms/step
+    # measured end to end, blind SIR parity within 1 dB —
+    # tests/test_int8_inference.py). Upsampling, output head and all
+    # beamforming math stay bf16/f32.
+    model = DeepFPU(base=32, dtype=jnp.bfloat16, quant=True)
     probe = synth_batch(jax.random.PRNGKey(0), 1, cfg, "physics", cfg.win_size)
     state = create_state(model, jax.random.PRNGKey(0), probe["features"].shape)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -127,6 +130,7 @@ def main():
                 "batch": batch,
                 "chunk_seconds": n / fs,
                 "iters": iters,
+                "precision": "int8-MXU convs + bf16 + f32 beamforming",
                 "device": str(jax.devices()[0]),
             }
         )
