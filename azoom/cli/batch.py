@@ -27,7 +27,7 @@ def build_parser():
                    help="serial per-scene file pipeline (reference semantics)")
     p.add_argument("--data-root", default="data")
     p.add_argument("--beamformer", default="oracle",
-                   choices=["oracle", "mvdr", "hard_null", "gev"])
+                   choices=["oracle", "mvdr", "hard_null", "rmvb", "gev"])
     p.add_argument("--model", default="fpu", choices=["fpu", "deepfpu"],
                    help="mask net for learned beamformers (vectorized mode)")
     p.add_argument("--ckpt", default=None)
@@ -128,7 +128,7 @@ def run_vectorized(args):
     )
     if args.beamformer == "oracle":
         sweep_fn, sweep_args = oracle_sweep, (cfg,)
-    elif args.beamformer in ("mvdr", "hard_null"):
+    elif args.beamformer in ("mvdr", "hard_null", "rmvb"):
         model, variables, feature_kind = _load_sweep_model(args, cfg)
         sweep_fn, sweep_args = learned_sweep, (cfg, model, variables)
         common.update(beamformer=args.beamformer, feature_kind=feature_kind)

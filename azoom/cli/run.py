@@ -34,13 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--beamformer", default="oracle",
-        choices=["oracle", "mvdr", "hard_null", "gev", "maxsnr_fov",
+        choices=["oracle", "mvdr", "hard_null", "rmvb", "gev", "maxsnr_fov",
                  "autosteer", "online"],
         help="oracle = answer-key IBM (no model); gev = oracle-mask GEV; "
              "maxsnr_fov = blind FOV-constrained max-SNR; autosteer = blind "
              "localize-in-FOV + steered MVDR; online = causal CRN + "
-             "recursive MVDR (32 ms latency); mvdr/hard_null use the "
-             "learned mask (--ckpt or bundled artifact)",
+             "recursive MVDR (32 ms latency); mvdr/hard_null/rmvb use the "
+             "learned mask (--ckpt or bundled artifact; rmvb = robust "
+             "Capon, tolerant of approximate look directions)",
     )
     p.add_argument("--fov", type=float, default=10.0,
                    help="field-of-view width (deg) for maxsnr_fov")

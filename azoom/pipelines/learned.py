@@ -86,9 +86,11 @@ def learned_enhance(
 ) -> jnp.ndarray:
     """Whole-signal learned enhancement: (..., M, n) -> (..., n).
 
-    beamformer: 'mvdr' (tf_lite_version/inference.py batch_mvdr path) or
+    beamformer: 'mvdr' (tf_lite_version/inference.py batch_mvdr path),
     'hard_null' (Final_pipeline hybrid path, <200 Hz bypass + cond
-    fallback). Post-filter multiplies by the predicted mask, floored
+    fallback), or 'rmvb' (robust Capon — steering-corrected MVDR for
+    approximate look directions, azoom.beam.rmvb). Post-filter multiplies
+    by the predicted mask, floored
     (full inference.py:116) for 'mvdr', raw (Final inference.py:219) for
     'hard_null'. ``use_pallas`` routes the MVDR stage through the fused
     TPU kernel (azoom.pallas) — ~2.7x faster than the XLA path on v5e and
@@ -128,6 +130,14 @@ def learned_enhance(
             sigma=cfg.sigma,
             hp_cutoff_hz=cfg.hp_cutoff_hz,
         )
+    elif beamformer == "rmvb":
+        from azoom.beam.rmvb import rmvb_beamform
+
+        d = steering_vector(freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
+        S = rmvb_beamform(
+            Y, noise_mask, d, freqs,
+            sigma=cfg.sigma, hp_cutoff_hz=cfg.hp_cutoff_hz,
+        ) * jnp.maximum(tgt_mask, mask_floor)
     elif beamformer == "hard_null":
         d = steering_vector(
             freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics,

@@ -181,5 +181,7 @@ def test_batch_vectorized_learned_flags(workdir):
     assert len(rows) == 4
     for row in rows:
         cells = row.split(",")
-        assert cells[7] == "N/A" and cells[8] == "N/A"  # honest PESQ
+        # PESQ columns carry real MOS-LQO values now that the native
+        # P.862 backend exists (1.0 <= score <= 4.65, never a fake 0.0)
+        assert 1.0 <= float(cells[7]) <= 4.65 and 1.0 <= float(cells[8]) <= 4.65
         assert cells[4] != "0.00" or cells[5] != "0.00"  # SINR computed
