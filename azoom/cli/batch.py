@@ -35,6 +35,11 @@ def build_parser():
     p.add_argument("--fixed-angles", action="store_true",
                    help="anechoic scenes use the fixed 40/130 deg geometry "
                         "instead of randomized interferer angles")
+    p.add_argument("--steer-error", type=float, default=0.0,
+                   help="deliberate look-direction error (deg) applied to "
+                        "the enhancement stack in vectorized learned sweeps "
+                        "— models camera pointing error; scenes keep the "
+                        "true target angle")
     p.add_argument("--duration", type=float, default=2.0)
     p.add_argument("--max-order", type=int, default=None,
                    help="image-source order for per-run simulation")
@@ -127,11 +132,19 @@ def run_vectorized(args):
         with_waveforms=not args.no_pesq,
     )
     if args.beamformer == "oracle":
+        if args.steer_error:
+            raise SystemExit(
+                "--steer-error applies to learned beamformers "
+                "(mvdr/hard_null/rmvb), not the oracle sweep"
+            )
         sweep_fn, sweep_args = oracle_sweep, (cfg,)
     elif args.beamformer in ("mvdr", "hard_null", "rmvb"):
         model, variables, feature_kind = _load_sweep_model(args, cfg)
         sweep_fn, sweep_args = learned_sweep, (cfg, model, variables)
-        common.update(beamformer=args.beamformer, feature_kind=feature_kind)
+        common.update(
+            beamformer=args.beamformer, feature_kind=feature_kind,
+            steer_error_deg=args.steer_error,
+        )
     else:
         raise SystemExit(
             f"beamformer {args.beamformer!r} is not available in vectorized "
@@ -249,6 +262,8 @@ def run_per_run(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.per_run:
+        if args.steer_error:
+            raise SystemExit("--steer-error is a vectorized-mode option")
         run_per_run(args)
     else:
         run_vectorized(args)

@@ -171,7 +171,7 @@ def oracle_sweep(
     static_argnames=(
         "cfg", "model", "n_scenes", "n_samples", "with_stoi", "n_interferers",
         "reverb", "randomize", "room", "beamformer", "feature_kind",
-        "with_waveforms",
+        "with_waveforms", "steer_error_deg",
     ),
 )
 def learned_sweep(
@@ -189,22 +189,32 @@ def learned_sweep(
     beamformer: str = "mvdr",
     feature_kind: str = "logmag_ipd",
     with_waveforms: bool = False,
+    steer_error_deg: float = 0.0,
 ) -> dict:
     """Blind learned-mask campaign sweep: synth scenes (reverb by default,
     mirroring batch_run.py:23-29's RT60=0.5 / 2-interferer config), enhance
     with the trained mask net + selected beamformer ('mvdr' or
     'hard_null'), and score — all in one vmapped program. The model is
-    static; its variables are a traced pytree (shardable/donatable)."""
+    static; its variables are a traced pytree (shardable/donatable).
+
+    ``steer_error_deg`` models camera pointing error in the audio-visual
+    product: scenes keep the true target at ``cfg.angle_target_deg``, but
+    the enhancement stack (steering vector, FOV gating, physics features)
+    is steered ``steer_error_deg`` degrees off it — the robustness axis the
+    'rmvb' beamformer is designed for."""
     from azoom.pipelines.learned import learned_enhance
 
     keys = jax.random.split(key, n_scenes)
+    enh_cfg = cfg.replace(
+        angle_target_deg=cfg.angle_target_deg + steer_error_deg
+    )
 
     def one(k):
         sc = _scene_from_key(
             k, cfg, n_samples, n_interferers, reverb, randomize, room
         )
         out = learned_enhance(
-            sc["mixture"], model, variables, cfg,
+            sc["mixture"], model, variables, enh_cfg,
             beamformer=beamformer, feature_kind=feature_kind,
         )
         res = _score(out, sc, cfg, with_stoi)

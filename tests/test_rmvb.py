@@ -117,3 +117,33 @@ def test_rmvb_pipeline_sanity():
         outs[name] = float(sir)
     assert outs["rmvb"] > outs["mvdr"] - 1.5, outs
     assert outs["rmvb"] > 15.0
+
+
+def test_learned_sweep_steer_error():
+    """Camera pointing error axis: scenes keep the true target angle, the
+    enhancement stack is steered off it. The sweep must stay finite and
+    still enhance; zero error must reproduce the default path exactly."""
+    from azoom.models.pretrained import load_pretrained_fpu
+    from azoom.parallel.sweep import learned_sweep, sweep_summary
+
+    model, variables = load_pretrained_fpu()
+    common = dict(
+        n_scenes=2, n_samples=8_192, reverb=False, randomize=False,
+        with_stoi=False,
+    )
+    base = learned_sweep(
+        jax.random.PRNGKey(4), CFG, model, variables, **common
+    )
+    zero = learned_sweep(
+        jax.random.PRNGKey(4), CFG, model, variables,
+        steer_error_deg=0.0, **common
+    )
+    assert float(jnp.max(jnp.abs(base["sir_imp"] - zero["sir_imp"]))) == 0.0
+    for bf in ("mvdr", "rmvb"):
+        res = learned_sweep(
+            jax.random.PRNGKey(4), CFG, model, variables,
+            beamformer=bf, steer_error_deg=12.0, **common
+        )
+        s = sweep_summary(res)
+        assert s["sir_imp"]["n_failed"] == 0
+        assert s["sir_imp"]["mean"] > 3.0, (bf, s["sir_imp"])
