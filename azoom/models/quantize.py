@@ -26,6 +26,7 @@ __all__ = [
     "quantization_error",
     "save_quantized",
     "load_quantized",
+    "calibrate_act_scales",
 ]
 
 _MIN_QUANT_SIZE = 64  # leave tiny tensors (biases, BN) in float
@@ -127,6 +128,32 @@ def load_quantized(path, dtype=jnp.float32) -> Any:
         return node
 
     return resolve(tree)
+
+
+def calibrate_act_scales(model, variables: Any, batches) -> Any:
+    """Post-training activation-scale calibration for int8 serving.
+
+    Runs the ``quant=True`` model over the calibration ``batches``
+    (an iterable of feature arrays) with the ``quant_stats`` collection
+    mutable, so every :class:`azoom.models.unet.QConv` records the running
+    max-abs of its input. Returns ``variables`` extended with the
+    resulting ``quant_stats`` collection; serving with those variables
+    uses the static scales (no per-call full-tensor reduction — the hot
+    path becomes quantize -> int8 conv -> dequantize only). This is the
+    TPU analogue of TFLite's representative-dataset calibration
+    (tf_lite_version/model_neural.py:180-187 ships dynamic-range quant;
+    full-integer TFLite calibration is this step).
+    """
+    qs = variables.get("quant_stats", {})
+    for feats in batches:
+        v = {**variables, "quant_stats": qs} if qs else dict(variables)
+        _, mut = model.apply(v, feats, mutable=["quant_stats"])
+        qs = mut["quant_stats"]
+    if not qs:
+        raise ValueError(
+            "no quant_stats recorded — is the model built with quant=True?"
+        )
+    return {**variables, "quant_stats": qs}
 
 
 def quantization_error(variables: Any, qvariables: Any) -> float:

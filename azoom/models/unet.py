@@ -44,9 +44,28 @@ class QConv(nn.Module):
     the MXU (v5e: 2x the bf16 macs/cycle). Same parameter tree as nn.Conv
     ("kernel" (kh, kw, cin, cout) float32 + "bias"), so bundled float
     checkpoints load unchanged; quantization happens inside the graph:
-    per-output-channel symmetric weight scales, per-tensor dynamic
-    activation scale, dequantized into ``dtype`` after the conv.
+    per-output-channel symmetric weight scales, per-tensor activation
+    scale, dequantized into ``dtype`` after the conv.
+
+    Activation scale, three modes:
+      * default — dynamic (max-abs of the tensor, computed per call);
+      * calibration — ``apply(..., mutable=["quant_stats"])`` records the
+        running 99.9th percentile of |x| into a ``quant_stats/act_scale``
+        variable (:func:`azoom.models.quantize.calibrate_act_scales`).
+        Percentile, not max: post-ReLU activations are heavy-tailed, and
+        measured SIR is *better* when the rare outliers clip than when
+        the whole tensor is coded at outlier resolution (max-abs
+        calibration cost ~6 dB blind SIR; percentile matches the float
+        path — RESULTS.md);
+      * serving — when the variables carry that ``quant_stats``
+        collection, the stored static scale is used, removing the
+        full-tensor reduction from the hot path (measured 1.27x
+        end-to-end on v5e, see RESULTS.md).
+    The collection is never created at ``init``, so the parameter tree —
+    and thus every bundled checkpoint — is unchanged.
     """
+
+    _CALIB_PCT = 99.9  # |x| percentile recorded during calibration
 
     features: int
     kernel_size: tuple[int, int] = (3, 3)
@@ -68,7 +87,23 @@ class QConv(nn.Module):
         w_q = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
 
         xf = x.astype(jnp.float32)
-        x_scale = jnp.max(jnp.abs(xf)) / 127.0 + 1e-30
+        calibrating = (
+            not self.is_initializing()
+            and self.is_mutable_collection("quant_stats")
+        )
+        if calibrating:
+            dyn = jnp.max(jnp.abs(xf)) / 127.0 + 1e-30
+            pct = jnp.percentile(jnp.abs(xf), self._CALIB_PCT) / 127.0 + 1e-30
+            obs = self.variable(
+                "quant_stats", "act_scale",
+                lambda: jnp.zeros((), jnp.float32),
+            )
+            obs.value = jnp.maximum(obs.value, pct)
+            x_scale = dyn
+        elif self.has_variable("quant_stats", "act_scale"):
+            x_scale = self.get_variable("quant_stats", "act_scale")
+        else:
+            x_scale = jnp.max(jnp.abs(xf)) / 127.0 + 1e-30
         x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
 
         dn = jax.lax.conv_dimension_numbers(

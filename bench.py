@@ -44,14 +44,24 @@ def main():
 
     # Flagship model at production size (DeepFPU base=32, 4-ch physics).
     # quant=True = the int8 serving path: 3x3 convs run int8 x int8 ->
-    # int32 on the MXU (2x bf16 macs/cycle on v5e; 90.9 -> 77.3 ms/step
-    # measured end to end, blind SIR parity within 1 dB —
-    # tests/test_int8_inference.py). Upsampling, output head and all
+    # int32 on the MXU (2x bf16 macs/cycle on v5e; 90.9 -> 61.0 ms/step
+    # with calibrated static act scales, blind SIR within 0.2 dB of float
+    # — tests/test_int8_inference.py). Upsampling, output head and all
     # beamforming math stay bf16/f32.
     model = DeepFPU(base=32, dtype=jnp.bfloat16, quant=True)
     probe = synth_batch(jax.random.PRNGKey(0), 1, cfg, "physics", cfg.win_size)
     state = create_state(model, jax.random.PRNGKey(0), probe["features"].shape)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # Static activation scales (max-abs over a few representative batches):
+    # removes the per-conv full-tensor reduction from the serving hot path
+    # (QConv docstring; 1.17x per conv measured).
+    from azoom.models.quantize import calibrate_act_scales
+
+    variables = calibrate_act_scales(
+        model, variables,
+        (synth_batch(jax.random.PRNGKey(i), 4, cfg, "physics",
+                     cfg.win_size)["features"] for i in range(1, 4)),
+    )
 
     batch = 128         # parallel 2 s chunks per step (throughput knee on v5e)
     n = cfg.win_size    # 32000 samples = 2 s per chunk

@@ -51,6 +51,44 @@ def test_quant_model_mask_parity(cls, kind):
     assert float(jnp.mean((out_f > 0.5) == (out_q > 0.5))) > 0.93
 
 
+def test_calibrated_static_act_scales():
+    """Post-training activation-scale calibration: quant_stats records one
+    scale per QConv, the static path tracks the dynamic path closely, and
+    the init tree stays checkpoint-compatible (no quant_stats at init)."""
+    from azoom.models.quantize import calibrate_act_scales
+
+    model = DeepFPU(base=8, quant=True)
+    batch = synth_batch(jax.random.PRNGKey(0), 2, CFG, "physics", 16_384)
+    state = create_state(model, jax.random.PRNGKey(0), batch["features"].shape)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    assert "quant_stats" not in model.init(
+        jax.random.PRNGKey(0), batch["features"]
+    )
+    cal = calibrate_act_scales(
+        model, variables,
+        [synth_batch(jax.random.PRNGKey(i), 2, CFG, "physics", 16_384)["features"]
+         for i in range(2)],
+    )
+    scales = jax.tree_util.tree_leaves(cal["quant_stats"])
+    assert len(scales) == 27  # one per 3x3 conv in DeepFPU
+    assert all(float(s) > 0 for s in scales)
+    out_dyn = model.apply(variables, batch["features"])
+    out_sta = model.apply(cal, batch["features"])
+    assert float(jnp.max(jnp.abs(out_dyn - out_sta))) < 0.08
+
+
+def test_bundled_artifacts_carry_act_scales():
+    """Bundled .npz artifacts ship calibrated static scales, so serving
+    with quant=True never pays the per-conv dynamic reduction."""
+    from azoom.models.pretrained import load_pretrained_deepfpu, load_pretrained_fpu
+
+    for loader in (load_pretrained_fpu, load_pretrained_deepfpu):
+        _, variables = loader(quant=True)
+        assert "quant_stats" in variables, loader.__name__
+        scales = jax.tree_util.tree_leaves(variables["quant_stats"])
+        assert scales and all(float(s) > 0 for s in scales)
+
+
 def test_bundled_model_int8_sir_parity():
     """The bundled trained FPU must enhance equally well through the int8
     path (within 1 dB blind SIR) on a held-out synthetic scene."""
