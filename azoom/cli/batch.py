@@ -31,6 +31,9 @@ def build_parser():
     p.add_argument("--model", default="fpu", choices=["fpu", "deepfpu"],
                    help="mask net for learned beamformers (vectorized mode)")
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--int8", action="store_true",
+                   help="serve the mask net on the int8-MXU path "
+                        "(same artifacts, ~1.5x faster on v5e)")
     p.add_argument("--no-reverb", action="store_true")
     p.add_argument("--fixed-angles", action="store_true",
                    help="anechoic scenes use the fixed 40/130 deg geometry "
@@ -60,13 +63,15 @@ def _load_sweep_model(args, cfg):
     campaigns); --ckpt accepts an int8 .npz artifact or an orbax dir.
     """
     feature_kind = "logmag_ipd" if args.model == "fpu" else "physics"
+    quant = getattr(args, "int8", False)
     if args.ckpt:
         import jax
 
         from azoom.models.unet import DeepFPU, FreqPreservingUNet
         from azoom.train.loop import create_state
 
-        model = FreqPreservingUNet() if args.model == "fpu" else DeepFPU()
+        model = (FreqPreservingUNet(quant=quant) if args.model == "fpu"
+                 else DeepFPU(quant=quant))
         ckpt = Path(args.ckpt)
         if ckpt.suffix == ".npz":
             from azoom.models.quantize import load_quantized
@@ -92,15 +97,16 @@ def _load_sweep_model(args, cfg):
         load_pretrained_fpu_reverb,
     )
 
+    tag = " (int8-MXU serving)" if quant else ""
     if args.model == "deepfpu":
-        print("[BATCH] using bundled deepfpu_b32_phy artifact")
-        model, variables = load_pretrained_deepfpu()
+        print(f"[BATCH] using bundled deepfpu_b32_phy artifact{tag}")
+        model, variables = load_pretrained_deepfpu(quant=quant)
     elif not args.no_reverb:
-        print("[BATCH] using bundled reverb-trained fpu_b32_reverb artifact")
-        model, variables = load_pretrained_fpu_reverb()
+        print(f"[BATCH] using bundled reverb-trained fpu_b32_reverb artifact{tag}")
+        model, variables = load_pretrained_fpu_reverb(quant=quant)
     else:
-        print("[BATCH] using bundled fpu_b32 artifact")
-        model, variables = load_pretrained_fpu()
+        print(f"[BATCH] using bundled fpu_b32 artifact{tag}")
+        model, variables = load_pretrained_fpu(quant=quant)
     return model, variables, feature_kind
 
 
@@ -247,6 +253,7 @@ def run_per_run(args):
             + (["--no-reverb"] if args.no_reverb else [])
             + (["--max-order", str(args.max_order)] if args.max_order is not None else [])
             + (["--ckpt", args.ckpt] if args.ckpt else [])
+            + (["--int8"] if args.int8 else [])
         )
         try:
             do_sim(run_args, paths)

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fov", type=float, default=10.0,
                    help="field-of-view width (deg) for maxsnr_fov")
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir (trained model)")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the mask net on the int8-MXU path (QConv; "
+                        "same checkpoint, ~1.5x faster on v5e, blind SIR "
+                        "within 0.2 dB of float — see RESULTS.md)")
     p.add_argument("--model", default="fpu", choices=["fpu", "deepfpu"])
     p.add_argument("--features", default="logmag_ipd", choices=["logmag_ipd", "physics"])
     p.add_argument("--angle", type=float, default=90.0, help="zoom steering angle (deg)")
@@ -115,7 +119,9 @@ def _load_model_variables(args, cfg):
     from azoom.models.unet import DeepFPU, FreqPreservingUNet
     from azoom.train.loop import create_state
 
-    model = FreqPreservingUNet() if args.model == "fpu" else DeepFPU()
+    quant = getattr(args, "int8", False)
+    model = (FreqPreservingUNet(quant=quant) if args.model == "fpu"
+             else DeepFPU(quant=quant))
     n_ch = 2 if args.features == "logmag_ipd" else 4
     state = create_state(
         model, jax.random.PRNGKey(0), (1, cfg.n_freqs, 64, n_ch)
@@ -144,9 +150,10 @@ def _load_model_variables(args, cfg):
         if bundled_artifact_path(args.model) is not None:
             loader = (load_pretrained_fpu if args.model == "fpu"
                       else load_pretrained_deepfpu)
-            model, variables = loader()
+            model, variables = loader(quant=quant)
             print(f"[INF] Using bundled pretrained artifact "
-                  f"{bundled_artifact_path(args.model).name}")
+                  f"{bundled_artifact_path(args.model).name}"
+                  + (" (int8-MXU serving)" if quant else ""))
             return model, variables
         print("[INF] WARNING: no --ckpt given; using untrained weights")
     else:
