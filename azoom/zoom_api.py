@@ -120,6 +120,16 @@ class AudioZoom:
     def _reset_stream(self):
         self._win = self.cfg.win_size
         self._hop = self._win // 2
+        # Buffering/OLA runs in the native C++ engine when the toolchain
+        # is available (amortized O(1) pushes, no per-block reallocation);
+        # the NumPy path below is the portable fallback. Either way the
+        # enhancement itself stays on device.
+        from azoom.stream.native import NativeStream, native_available
+
+        self._native = (
+            NativeStream(self.cfg.n_mics, self._win)
+            if native_available() else None
+        )
         self._inbuf = np.zeros((self.cfg.n_mics, 0), np.float32)
         self._tail = np.zeros(self._hop, np.float32)
         self._started = False
@@ -131,12 +141,27 @@ class AudioZoom:
 
     def reset(self) -> None:
         """Drop all stream state (e.g. on seek or device change)."""
+        if getattr(self, "_native", None) is not None:
+            self._native.reset()
+            self._inbuf = np.zeros((self.cfg.n_mics, 0), np.float32)
+            self._tail[:] = 0.0
+            self._started = False
+            return
         self._reset_stream()
 
     def push(self, samples) -> np.ndarray:
         """Feed (M, k) new samples; returns whatever enhanced audio is ready
         (multiple of hop samples, possibly empty)."""
         samples = np.asarray(samples, np.float32)
+        if self._native is not None:
+            self._native.push(samples)
+            out = []
+            for window in self._native.windows():
+                enhanced = to_numpy(self._enhance_window(jnp.asarray(window)))
+                done = self._native.commit(enhanced)
+                if done.size:
+                    out.append(done)
+            return np.concatenate(out) if out else np.zeros(0, np.float32)
         self._inbuf = np.concatenate([self._inbuf, samples], axis=1)
         out = []
         while self._inbuf.shape[1] >= self._win:
