@@ -28,8 +28,10 @@ def build_parser():
     p.add_argument("--data-root", default="data")
     p.add_argument("--beamformer", default="oracle",
                    choices=["oracle", "mvdr", "hard_null", "rmvb", "gev"])
-    p.add_argument("--model", default="fpu", choices=["fpu", "deepfpu"],
-                   help="mask net for learned beamformers (vectorized mode)")
+    p.add_argument("--model", default="fpu",
+                   choices=["fpu", "deepfpu", "tpufpu"],
+                   help="mask net for learned beamformers (vectorized "
+                        "mode); tpufpu = MXU-shaped flagship")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--int8", action="store_true",
                    help="serve the mask net on the int8-MXU path "
@@ -70,8 +72,14 @@ def _load_sweep_model(args, cfg):
         from azoom.models.unet import DeepFPU, FreqPreservingUNet
         from azoom.train.loop import create_state
 
-        model = (FreqPreservingUNet(quant=quant) if args.model == "fpu"
-                 else DeepFPU(quant=quant))
+        if args.model == "fpu":
+            model = FreqPreservingUNet(quant=quant)
+        elif args.model == "tpufpu":
+            from azoom.models.unet import TPUFPU
+
+            model = TPUFPU(base=64, fold=4, quant=quant)
+        else:
+            model = DeepFPU(quant=quant)
         ckpt = Path(args.ckpt)
         if ckpt.suffix == ".npz":
             from azoom.models.quantize import load_quantized
@@ -98,7 +106,12 @@ def _load_sweep_model(args, cfg):
     )
 
     tag = " (int8-MXU serving)" if quant else ""
-    if args.model == "deepfpu":
+    if args.model == "tpufpu":
+        from azoom.models.pretrained import load_pretrained_tpufpu
+
+        print(f"[BATCH] using bundled tpufpu_b64_phy artifact{tag}")
+        model, variables = load_pretrained_tpufpu(quant=quant)
+    elif args.model == "deepfpu":
         print(f"[BATCH] using bundled deepfpu_b32_phy artifact{tag}")
         model, variables = load_pretrained_deepfpu(quant=quant)
     elif not args.no_reverb:

@@ -50,7 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve the mask net on the int8-MXU path (QConv; "
                         "same checkpoint, ~1.5x faster on v5e, blind SIR "
                         "within 0.2 dB of float — see RESULTS.md)")
-    p.add_argument("--model", default="fpu", choices=["fpu", "deepfpu"])
+    p.add_argument("--model", default="fpu",
+                   choices=["fpu", "deepfpu", "tpufpu"],
+                   help="mask net; tpufpu = the MXU-shaped flagship "
+                        "(physics features, 2.25x deepfpu's speed)")
     p.add_argument("--features", default="logmag_ipd", choices=["logmag_ipd", "physics"])
     p.add_argument("--angle", type=float, default=90.0, help="zoom steering angle (deg)")
     p.add_argument("--sigma", type=float, default=None, help="diagonal loading")
@@ -120,8 +123,14 @@ def _load_model_variables(args, cfg):
     from azoom.train.loop import create_state
 
     quant = getattr(args, "int8", False)
-    model = (FreqPreservingUNet(quant=quant) if args.model == "fpu"
-             else DeepFPU(quant=quant))
+    if args.model == "fpu":
+        model = FreqPreservingUNet(quant=quant)
+    elif args.model == "tpufpu":
+        from azoom.models.unet import TPUFPU
+
+        model = TPUFPU(base=64, fold=4, quant=quant)
+    else:
+        model = DeepFPU(quant=quant)
     n_ch = 2 if args.features == "logmag_ipd" else 4
     state = create_state(
         model, jax.random.PRNGKey(0), (1, cfg.n_freqs, 64, n_ch)
@@ -139,17 +148,21 @@ def _load_model_variables(args, cfg):
         state, step = restore_checkpoint(ckpt, state)
         print(f"[INF] Loaded checkpoint step {step} from {args.ckpt}")
     elif (args.model, args.features) in (
-        ("fpu", "logmag_ipd"), ("deepfpu", "physics")
+        ("fpu", "logmag_ipd"), ("deepfpu", "physics"), ("tpufpu", "physics")
     ):
         from azoom.models.pretrained import (
             bundled_artifact_path,
             load_pretrained_deepfpu,
             load_pretrained_fpu,
+            load_pretrained_tpufpu,
         )
 
         if bundled_artifact_path(args.model) is not None:
-            loader = (load_pretrained_fpu if args.model == "fpu"
-                      else load_pretrained_deepfpu)
+            loader = {
+                "fpu": load_pretrained_fpu,
+                "deepfpu": load_pretrained_deepfpu,
+                "tpufpu": load_pretrained_tpufpu,
+            }[args.model]
             model, variables = loader(quant=quant)
             print(f"[INF] Using bundled pretrained artifact "
                   f"{bundled_artifact_path(args.model).name}"

@@ -144,10 +144,17 @@ def calibrate_act_scales(model, variables: Any, batches) -> Any:
     (tf_lite_version/model_neural.py:180-187 ships dynamic-range quant;
     full-integer TFLite calibration is this step).
     """
+    import functools
+
+    # One compiled program per batch shape (the calibration apply is pure);
+    # eager per-op dispatch is prohibitively slow on remote backends.
+    calib_apply = jax.jit(
+        functools.partial(model.apply, mutable=["quant_stats"])
+    )
     qs = variables.get("quant_stats", {})
     for feats in batches:
         v = {**variables, "quant_stats": qs} if qs else dict(variables)
-        _, mut = model.apply(v, feats, mutable=["quant_stats"])
+        _, mut = calib_apply(v, feats)
         qs = mut["quant_stats"]
     if not qs:
         raise ValueError(

@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "FreqPreservingUNet", "DeepFPU", "QConv", "pad_frames", "time_pool_factor",
+    "FreqPreservingUNet", "DeepFPU", "TPUFPU", "QConv", "pad_frames",
+    "time_pool_factor",
 ]
 
 
@@ -273,3 +274,78 @@ class DeepFPU(nn.Module):
 
         out = nn.Conv(1, (1, 1), dtype=jnp.float32)(h.astype(jnp.float32))
         return nn.sigmoid(out)[..., 0]
+
+
+class TPUFPU(nn.Module):
+    """MXU-shaped deep FPU: frequency space-to-depth stem -> residual
+    U-Net -> per-subband mask head.
+
+    The reference nets (and their azoom twins above) start with 32-64
+    channel convs over the full 513-bin frequency axis; the v5e MXU is
+    128 lanes wide, so those early levels run at 25-50 % lane utilization
+    and dominate the step. TPUFPU folds ``fold`` adjacent frequency bins
+    into channels at the stem ((B, F, T, C) -> (B, F/fold, T, fold*C)),
+    so every conv level runs at >= ``base`` channels on fold-x fewer
+    spatial rows, then unfolds at the head (a conv predicting ``fold``
+    mask lanes per subband position). Frequency resolution of the *mask*
+    is fully preserved — only the conv grid is coarser. External contract:
+    (B, F, T, C) with T % 8 == 0 -> (B, F, T) (the default pad_frames
+    multiple of 16 works unchanged).
+
+    No reference counterpart (a TPU-native addition; the reference's
+    model zoo is the FPU/DeepFPU family, resnet_model_mvdr/inference.py:
+    53-137).
+    """
+
+    base: int = 64
+    fold: int = 4
+    dtype: jnp.dtype = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d, q, fold = self.dtype, self.quant, self.fold
+        F = x.shape[-3]
+        pad_f = (-F) % fold
+        if pad_f:
+            widths = [(0, 0)] * (x.ndim - 3) + [(0, pad_f), (0, 0), (0, 0)]
+            x = jnp.pad(x, widths)
+        Fp = (F + pad_f) // fold
+        # Space-to-depth on frequency: (..., Fp, fold, T, C) -> channels.
+        shape = x.shape
+        x = x.reshape(shape[:-3] + (Fp, fold, shape[-2], shape[-1]))
+        x = jnp.moveaxis(x, -3, -2)  # (..., Fp, T, fold, C)
+        x = x.reshape(shape[:-3] + (Fp, shape[-2], fold * shape[-1]))
+        x = x.astype(d)
+
+        def enc_level(h, feats, first=False):
+            if first:
+                return DoubleConv(feats, d, q)(h, train)
+            h = ConvBNRelu(feats, d, q)(h, train)
+            return ResBlock(feats, d, q)(h, train)
+
+        e1 = enc_level(x, self.base, first=True)
+        e2 = enc_level(_pool_time(e1), self.base * 2)
+        e3 = enc_level(_pool_time(e2), self.base * 4)
+
+        b = ConvBNRelu(self.base * 8, d, q)(_pool_time(e3), train)
+        b = ResBlock(self.base * 8, d, q)(b, train)
+        b = ResBlock(self.base * 8, d, q)(b, train)
+
+        def dec_level(h, skip, feats, last=False):
+            h = _up_time(h, feats, d)
+            h = jnp.concatenate([h, skip], -1)
+            if last:
+                return DoubleConv(feats, d, q)(h, train)
+            h = ConvBNRelu(feats, d, q)(h, train)
+            return ResBlock(feats, d, q)(h, train)
+
+        h = dec_level(b, e3, self.base * 4)
+        h = dec_level(h, e2, self.base * 2)
+        h = dec_level(h, e1, self.base, last=True)
+
+        # Head: one mask lane per folded bin, then depth-to-space back.
+        out = nn.Conv(fold, (1, 1), dtype=jnp.float32)(h.astype(jnp.float32))
+        out = jnp.moveaxis(out, -1, -2)  # (..., Fp, fold, T)
+        out = out.reshape(out.shape[:-3] + (Fp * fold, out.shape[-1]))
+        return nn.sigmoid(out[..., :F, :])

@@ -66,6 +66,7 @@ class AudioZoom:
                     pretrained.load_pretrained_fpu_multigeo, "logmag_ipd"
                 ),
                 "deepfpu": (pretrained.load_pretrained_deepfpu, "physics"),
+                "tpufpu": (pretrained.load_pretrained_tpufpu, "physics"),
             }
             loader, feats = loaders[self.model]
             net, variables = loader()

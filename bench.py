@@ -1,6 +1,6 @@
 """Headline benchmark: streaming learned-mask enhancement throughput.
 
-Measures the flagship inference path (physics-aware DeepFPU mask net +
+Measures the flagship inference path (physics-aware TPUFPU mask net +
 batched masked-MVDR + iSTFT, the Final_pipeline equivalent) on the default
 backend (one TPU chip under the driver), batched over parallel streams.
 
@@ -31,7 +31,7 @@ def main():
     import azoom  # noqa: F401  (enables the persistent compile cache)
     from azoom.config import PipelineConfig
     from azoom.eval.projection import osinr_osir
-    from azoom.models.unet import DeepFPU
+    from azoom.models.unet import TPUFPU
     from azoom.pipelines.learned import learned_enhance
     from azoom.pipelines.oracle import oracle_enhance
     from azoom.sim.farfield import make_scene
@@ -42,13 +42,15 @@ def main():
     cfg = PipelineConfig(mic_dist=0.04)
     fs = cfg.fs
 
-    # Flagship model at production size (DeepFPU base=32, 4-ch physics).
-    # quant=True = the int8 serving path: 3x3 convs run int8 x int8 ->
-    # int32 on the MXU (2x bf16 macs/cycle on v5e; 90.9 -> 61.0 ms/step
-    # with calibrated static act scales, blind SIR within 0.2 dB of float
-    # — tests/test_int8_inference.py). Upsampling, output head and all
+    # Flagship model at production size: TPUFPU (base=64, fold=4, 4-ch
+    # physics) — the MXU-shaped net (frequency space-to-depth stem; every
+    # conv level >= 64 channels on 4x fewer rows), 2.25x DeepFPU b32's
+    # speed at equal parameter count and held-out accuracy (0.846 vs
+    # 0.845 mask acc — RESULTS.md). quant=True = the int8 serving path
+    # with calibrated static act scales; blind SIR within 0.2 dB of float
+    # (tests/test_int8_inference.py). Upsampling, output head and all
     # beamforming math stay bf16/f32.
-    model = DeepFPU(base=32, dtype=jnp.bfloat16, quant=True)
+    model = TPUFPU(base=64, fold=4, dtype=jnp.bfloat16, quant=True)
     probe = synth_batch(jax.random.PRNGKey(0), 1, cfg, "physics", cfg.win_size)
     state = create_state(model, jax.random.PRNGKey(0), probe["features"].shape)
     variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -29,7 +29,8 @@ from azoom.sim.signals import speech_like
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="fpu_multigeo",
-                   choices=["autosteer", "fpu", "fpu_multigeo", "fpu_reverb", "deepfpu"])
+                   choices=["autosteer", "fpu", "fpu_multigeo", "fpu_reverb",
+                            "deepfpu", "tpufpu"])
     p.add_argument("--blocksize", type=int, default=1_600,
                    help="producer block size in samples (100 ms @ 16 kHz)")
     p.add_argument("--seconds", type=float, default=8.0)

@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from azoom.config import PipelineConfig
-from azoom.models.unet import DeepFPU, FreqPreservingUNet, QConv
+from azoom.models.unet import DeepFPU, FreqPreservingUNet, QConv, TPUFPU
 from azoom.train.data import synth_batch
 from azoom.train.loop import create_state
 
@@ -37,7 +37,9 @@ def test_qconv_matches_nn_conv_param_tree():
 
 
 @pytest.mark.parametrize(
-    "cls,kind", [(FreqPreservingUNet, "logmag_ipd"), (DeepFPU, "physics")]
+    "cls,kind",
+    [(FreqPreservingUNet, "logmag_ipd"), (DeepFPU, "physics"),
+     (TPUFPU, "physics")],
 )
 def test_quant_model_mask_parity(cls, kind):
     m_f = cls(base=8)
@@ -80,9 +82,14 @@ def test_calibrated_static_act_scales():
 def test_bundled_artifacts_carry_act_scales():
     """Bundled .npz artifacts ship calibrated static scales, so serving
     with quant=True never pays the per-conv dynamic reduction."""
-    from azoom.models.pretrained import load_pretrained_deepfpu, load_pretrained_fpu
+    from azoom.models.pretrained import (
+        load_pretrained_deepfpu,
+        load_pretrained_fpu,
+        load_pretrained_tpufpu,
+    )
 
-    for loader in (load_pretrained_fpu, load_pretrained_deepfpu):
+    for loader in (load_pretrained_fpu, load_pretrained_deepfpu,
+                   load_pretrained_tpufpu):
         _, variables = loader(quant=True)
         assert "quant_stats" in variables, loader.__name__
         scales = jax.tree_util.tree_leaves(variables["quant_stats"])

