@@ -99,28 +99,15 @@ def _load_sweep_model(args, cfg):
             {"params": state.params, "batch_stats": state.batch_stats},
             feature_kind,
         )
-    from azoom.models.pretrained import (
-        load_pretrained_deepfpu,
-        load_pretrained_fpu,
-        load_pretrained_fpu_reverb,
-    )
+    from azoom.models.pretrained import load_bundled
 
+    # For plain --model fpu, reverb campaigns get the reverb-trained twin.
+    name = args.model
+    if name == "fpu" and not args.no_reverb:
+        name = "fpu_reverb"
     tag = " (int8-MXU serving)" if quant else ""
-    if args.model == "tpufpu":
-        from azoom.models.pretrained import load_pretrained_tpufpu
-
-        print(f"[BATCH] using bundled tpufpu_b64_phy artifact{tag}")
-        model, variables = load_pretrained_tpufpu(quant=quant)
-    elif args.model == "deepfpu":
-        print(f"[BATCH] using bundled deepfpu_b32_phy artifact{tag}")
-        model, variables = load_pretrained_deepfpu(quant=quant)
-    elif not args.no_reverb:
-        print(f"[BATCH] using bundled reverb-trained fpu_b32_reverb artifact{tag}")
-        model, variables = load_pretrained_fpu_reverb(quant=quant)
-    else:
-        print(f"[BATCH] using bundled fpu_b32 artifact{tag}")
-        model, variables = load_pretrained_fpu(quant=quant)
-    return model, variables, feature_kind
+    print(f"[BATCH] using bundled {name} artifact{tag}")
+    return load_bundled(name, quant=quant)
 
 
 def run_vectorized(args):
@@ -129,12 +116,7 @@ def run_vectorized(args):
     from azoom.config import DEFAULT
     from azoom.eval.reports import append_to_csv
     from azoom.parallel.mesh import make_mesh
-    from azoom.parallel.sweep import (
-        learned_sweep,
-        oracle_sweep,
-        sharded_sweep,
-        sweep_summary,
-    )
+    from azoom.parallel.sweep import learned_sweep, oracle_sweep, sweep_summary
 
     cfg = DEFAULT.replace(mic_dist=0.04)
     reverb = not args.no_reverb
@@ -179,12 +161,30 @@ def run_vectorized(args):
 
     import numpy as np
 
+    # One compiled program per chunk size (almost always exactly one):
+    # sharded_sweep wraps the sweep in a fresh jax.jit whose cache would
+    # be empty on every call, so a streamed multi-device campaign would
+    # re-trace each chunk without this memo.
+    mesh = make_mesh() if n_dev > 1 else None
+    jitted = {}
+
     def run_chunk(k, m):
-        if n_dev > 1:
-            mesh = make_mesh()
-            with mesh:
-                return sharded_sweep(sweep_fn, k, mesh, m, *sweep_args, **common)
-        return sweep_fn(k, *sweep_args, n_scenes=m, **common)
+        if mesh is None:
+            return sweep_fn(k, *sweep_args, n_scenes=m, **common)
+        fn = jitted.get(m)
+        if fn is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            shard = NamedSharding(mesh, PartitionSpec("data"))
+            fn = jax.jit(
+                lambda kk: sweep_fn(kk, *sweep_args, n_scenes=m, **common),
+                out_shardings=shard,
+            )
+            jitted[m] = fn
+        if m % n_dev != 0:
+            raise ValueError(f"chunk {m} must divide over {n_dev} devices")
+        with mesh:
+            return fn(k)
 
     # Host-side perceptual scoring per streamed chunk: waveforms are
     # fetched, PESQ'd (azoom.eval.pesq_bridge — ITU lib or the native
@@ -267,6 +267,9 @@ def run_per_run(args):
             + (["--max-order", str(args.max_order)] if args.max_order is not None else [])
             + (["--ckpt", args.ckpt] if args.ckpt else [])
             + (["--int8"] if args.int8 else [])
+            + ["--model", args.model]
+            + (["--features", "physics"]
+               if args.model in ("deepfpu", "tpufpu") else [])
         )
         try:
             do_sim(run_args, paths)

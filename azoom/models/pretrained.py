@@ -15,6 +15,7 @@ from pathlib import Path
 
 __all__ = [
     "bundled_artifact_path",
+    "load_bundled",
     "load_pretrained_fpu",
     "load_pretrained_deepfpu",
     "load_pretrained_tpufpu",
@@ -148,3 +149,29 @@ def load_pretrained_tpufpu(quant: bool = False):
     if not _TPUFPU_ARTIFACT.exists():
         raise FileNotFoundError(f"bundled artifact missing: {_TPUFPU_ARTIFACT}")
     return TPUFPU(base=64, fold=4, quant=quant), load_quantized(_TPUFPU_ARTIFACT)
+
+
+def load_bundled(name: str, quant: bool = False):
+    """One dispatcher for every bundled artifact (the single source of
+    truth for model-name -> (loader, feature_kind); CLIs and the
+    AudioZoom facade all route through here so a new model is added in
+    one place).
+
+    Returns (model, variables, feature_kind). ``quant`` serves the mask
+    nets on the int8 MXU path where supported (ignored for the CRN).
+    """
+    table = {
+        "fpu": (load_pretrained_fpu, "logmag_ipd", True),
+        "fpu_reverb": (load_pretrained_fpu_reverb, "logmag_ipd", True),
+        "fpu_multigeo": (load_pretrained_fpu_multigeo, "logmag_ipd", True),
+        "deepfpu": (load_pretrained_deepfpu, "physics", True),
+        "tpufpu": (load_pretrained_tpufpu, "physics", True),
+        "crn_causal": (load_pretrained_crn_causal, "logmag_ipd", False),
+    }
+    if name not in table:
+        raise KeyError(f"unknown bundled model {name!r}; have {sorted(table)}")
+    loader, feature_kind, supports_quant = table[name]
+    model, variables = (
+        loader(quant=quant) if supports_quant else loader()
+    )
+    return model, variables, feature_kind

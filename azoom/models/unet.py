@@ -93,14 +93,16 @@ class QConv(nn.Module):
             and self.is_mutable_collection("quant_stats")
         )
         if calibrating:
-            dyn = jnp.max(jnp.abs(xf)) / 127.0 + 1e-30
             pct = jnp.percentile(jnp.abs(xf), self._CALIB_PCT) / 127.0 + 1e-30
             obs = self.variable(
                 "quant_stats", "act_scale",
                 lambda: jnp.zeros((), jnp.float32),
             )
             obs.value = jnp.maximum(obs.value, pct)
-            x_scale = dyn
+            # Forward-propagate with the same percentile scale being
+            # recorded, so deeper layers calibrate on the activation
+            # distribution they will actually see at serving time.
+            x_scale = pct
         elif self.has_variable("quant_stats", "act_scale"):
             x_scale = self.get_variable("quant_stats", "act_scale")
         else:

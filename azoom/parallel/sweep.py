@@ -96,6 +96,11 @@ def _scene_from_key(
             k_geo, n_interferers, cfg.angle_target_deg
         )
     else:
+        if n_interferers > len(_FIXED_ANGLES):
+            raise ValueError(
+                f"fixed-angle scenes support at most {len(_FIXED_ANGLES)} "
+                f"interferers (got {n_interferers}); use randomize=True"
+            )
         angles = jnp.asarray(_FIXED_ANGLES[:n_interferers])
     return make_scene(
         sigs[0], sigs[1:], cfg.angle_target_deg, angles, cfg.mic_dist, cfg.fs

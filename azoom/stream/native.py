@@ -31,9 +31,12 @@ def _load():
         return _lib
     if not _LIB_PATH.exists():
         try:
+            # Build only our own target: the default target also builds
+            # librir.so with -fopenmp, and a toolchain without OpenMP must
+            # not disable the (OpenMP-free) stream engine.
             subprocess.run(
-                ["make", "-C", str(_CPP_DIR)], check=True,
-                capture_output=True, timeout=120,
+                ["make", "-C", str(_CPP_DIR), "build/libstream.so"],
+                check=True, capture_output=True, timeout=120,
             )
         except Exception:
             _build_failed = True

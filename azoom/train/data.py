@@ -59,7 +59,13 @@ def synth_batch(
       mixture:  (B, M, n) time-domain mixtures (for end-to-end eval).
       target_ref / interference_ref: (B, n) stems.
     """
-    keys = jax.random.split(key, batch_size)
+    # Independent key streams for source synthesis and scene mixing —
+    # passing the parent key to both would alias the split children
+    # (threefry split(k, 3) children are a prefix of split(k, 4)'s), so
+    # scene randomization would reuse the exact key streams that drew the
+    # source waveforms.
+    k_src, k_mix = jax.random.split(key)
+    keys = jax.random.split(k_src, batch_size)
 
     def sources_of(k):
         k_t, k_i1, k_i2, k_f0 = jax.random.split(k, 4)
@@ -73,7 +79,7 @@ def synth_batch(
 
     sources = jax.vmap(sources_of)(keys)  # (B, 3, n)
     return mix_batch(
-        key, sources, cfg, feature_kind,
+        k_mix, sources, cfg, feature_kind,
         angle_jitter_deg=angle_jitter_deg, pad_multiple=pad_multiple,
         reverb=reverb, reverb_max_order=reverb_max_order,
     )

@@ -57,20 +57,9 @@ class AudioZoom:
     def __post_init__(self):
         self._mask_net = None
         if self.model is not None:
-            from azoom.models import pretrained
+            from azoom.models.pretrained import load_bundled
 
-            loaders = {
-                "fpu": (pretrained.load_pretrained_fpu, "logmag_ipd"),
-                "fpu_reverb": (pretrained.load_pretrained_fpu_reverb, "logmag_ipd"),
-                "fpu_multigeo": (
-                    pretrained.load_pretrained_fpu_multigeo, "logmag_ipd"
-                ),
-                "deepfpu": (pretrained.load_pretrained_deepfpu, "physics"),
-                "tpufpu": (pretrained.load_pretrained_tpufpu, "physics"),
-            }
-            loader, feats = loaders[self.model]
-            net, variables = loader()
-            self._mask_net = (net, variables, feats)
+            self._mask_net = load_bundled(self.model)
         self._reset_stream()
 
     # -- zoom state ---------------------------------------------------------

@@ -175,7 +175,7 @@ def test_batch_vectorized_learned_flags(workdir):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "mvdr, 1 interferer(s), anechoic" in r.stdout
-    assert "bundled fpu_b32 artifact" in r.stdout  # anechoic default model
+    assert "bundled fpu artifact" in r.stdout  # anechoic default model
     csv = (workdir / "data/results/batch_metrics.csv").read_text()
     rows = [l for l in csv.splitlines() if l.startswith("learned_an_")]
     assert len(rows) == 4
