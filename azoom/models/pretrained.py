@@ -1,12 +1,23 @@
-"""Bundled pretrained mask estimator.
+"""Bundled pretrained mask estimators.
 
 The reference ships its trained weights as git-LFS artifacts (which are
-missing from the snapshot — .MISSING_LARGE_BLOBS); azoom bundles a small
-int8-quantized FreqPreservingUNet (base=32, logmag+IPD features) trained
-on-device on synthesized scenes (3,000 Adam steps, BCE 0.69 -> 0.36,
-held-out mask accuracy 0.83, blind SIR improvement ~+23 dB on synthetic
-3-source anechoic scenes). Quantization is downstream-lossless (24.85 vs
-24.88 dB SIR vs the float checkpoint).
+missing from the snapshot — .MISSING_LARGE_BLOBS); azoom bundles six
+trained int8 artifacts, all trained on-device on synthesized scenes and
+carrying percentile-calibrated static activation scales for int8-MXU
+serving (see each `_*_ARTIFACT` note below for its recipe and measured
+numbers):
+
+  fpu           — FreqPreservingUNet b32, logmag+IPD (anechoic)
+  fpu_reverb    — room-scene-trained twin (reverb campaigns)
+  fpu_multigeo  — spacing-robust fine-tune (real / mismatched arrays)
+  deepfpu       — DeepFPU b32, physics 4-ch (the gen-4 twin)
+  tpufpu        — the MXU-shaped serving flagship (2.25x deepfpu)
+  crn_causal    — causal CRN for the 32-64 ms online path
+
+``load_bundled(name)`` is the single dispatcher the CLIs and the
+AudioZoom facade use. Quantization is downstream-lossless for weights
+(24.85 vs 24.88 dB SIR float-vs-int8) and within 0.2 dB blind SIR for
+full int8 compute (tests/test_int8_inference.py).
 """
 
 from __future__ import annotations
