@@ -171,6 +171,8 @@ def run_vectorized(args):
     def run_chunk(k, m):
         if mesh is None:
             return sweep_fn(k, *sweep_args, n_scenes=m, **common)
+        if m % n_dev != 0:
+            raise ValueError(f"chunk {m} must divide over {n_dev} devices")
         fn = jitted.get(m)
         if fn is None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -181,8 +183,6 @@ def run_vectorized(args):
                 out_shardings=shard,
             )
             jitted[m] = fn
-        if m % n_dev != 0:
-            raise ValueError(f"chunk {m} must divide over {n_dev} devices")
         with mesh:
             return fn(k)
 
@@ -267,9 +267,7 @@ def run_per_run(args):
             + (["--max-order", str(args.max_order)] if args.max_order is not None else [])
             + (["--ckpt", args.ckpt] if args.ckpt else [])
             + (["--int8"] if args.int8 else [])
-            + ["--model", args.model]
-            + (["--features", "physics"]
-               if args.model in ("deepfpu", "tpufpu") else [])
+            + ["--model", args.model]  # run.py derives features from it
         )
         try:
             do_sim(run_args, paths)

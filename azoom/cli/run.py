@@ -54,7 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["fpu", "deepfpu", "tpufpu"],
                    help="mask net; tpufpu = the MXU-shaped flagship "
                         "(physics features, 2.25x deepfpu's speed)")
-    p.add_argument("--features", default="logmag_ipd", choices=["logmag_ipd", "physics"])
+    p.add_argument("--features", default=None,
+                   choices=["logmag_ipd", "physics"],
+                   help="feature kind; defaults to what --model was "
+                        "trained on (physics for deepfpu/tpufpu)")
     p.add_argument("--angle", type=float, default=90.0, help="zoom steering angle (deg)")
     p.add_argument("--sigma", type=float, default=None, help="diagonal loading")
     p.add_argument("--zoom", type=float, default=None,
@@ -115,23 +118,48 @@ def do_sim(args, paths: PathsConfig) -> Path:
     return outdir
 
 
+def model_features(args) -> str:
+    """The feature kind the selected model was trained on; --features only
+    overrides it explicitly (so `--model tpufpu` alone serves the bundled
+    physics-feature flagship instead of silently falling back to
+    untrained weights — a round-2 review finding)."""
+    if args.features is not None:
+        return args.features
+    return "physics" if args.model in ("deepfpu", "tpufpu") else "logmag_ipd"
+
+
 def _load_model_variables(args, cfg):
     import jax
-    import jax.numpy as jnp
 
-    from azoom.models.unet import DeepFPU, FreqPreservingUNet
+    from azoom.models.unet import DeepFPU, FreqPreservingUNet, TPUFPU
     from azoom.train.loop import create_state
 
     quant = getattr(args, "int8", False)
+    features = model_features(args)
+    if not args.ckpt:
+        # No checkpoint: serve the bundled artifact when the requested
+        # features match its training features (one source of truth:
+        # azoom.models.pretrained.load_bundled).
+        from azoom.models.pretrained import bundled_artifact_path, load_bundled
+
+        if bundled_artifact_path(args.model) is not None:
+            model, variables, bundled_features = load_bundled(
+                args.model, quant=quant
+            )
+            if bundled_features == features:
+                print(f"[INF] Using bundled pretrained artifact "
+                      f"{bundled_artifact_path(args.model).name}"
+                      + (" (int8-MXU serving)" if quant else ""))
+                return model, variables
+        print("[INF] WARNING: no --ckpt given; using untrained weights")
+
     if args.model == "fpu":
         model = FreqPreservingUNet(quant=quant)
     elif args.model == "tpufpu":
-        from azoom.models.unet import TPUFPU
-
         model = TPUFPU(base=64, fold=4, quant=quant)
     else:
         model = DeepFPU(quant=quant)
-    n_ch = 2 if args.features == "logmag_ipd" else 4
+    n_ch = 2 if features == "logmag_ipd" else 4
     state = create_state(
         model, jax.random.PRNGKey(0), (1, cfg.n_freqs, 64, n_ch)
     )
@@ -147,30 +175,6 @@ def _load_model_variables(args, cfg):
 
         state, step = restore_checkpoint(ckpt, state)
         print(f"[INF] Loaded checkpoint step {step} from {args.ckpt}")
-    elif (args.model, args.features) in (
-        ("fpu", "logmag_ipd"), ("deepfpu", "physics"), ("tpufpu", "physics")
-    ):
-        from azoom.models.pretrained import (
-            bundled_artifact_path,
-            load_pretrained_deepfpu,
-            load_pretrained_fpu,
-            load_pretrained_tpufpu,
-        )
-
-        if bundled_artifact_path(args.model) is not None:
-            loader = {
-                "fpu": load_pretrained_fpu,
-                "deepfpu": load_pretrained_deepfpu,
-                "tpufpu": load_pretrained_tpufpu,
-            }[args.model]
-            model, variables = loader(quant=quant)
-            print(f"[INF] Using bundled pretrained artifact "
-                  f"{bundled_artifact_path(args.model).name}"
-                  + (" (int8-MXU serving)" if quant else ""))
-            return model, variables
-        print("[INF] WARNING: no --ckpt given; using untrained weights")
-    else:
-        print("[INF] WARNING: no --ckpt given; using untrained weights")
     return model, {"params": state.params, "batch_stats": state.batch_stats}
 
 
@@ -261,7 +265,7 @@ def do_inf(args, paths: PathsConfig) -> Path:
         model, variables = _load_model_variables(args, cfg)
         out = learned_enhance_streaming(
             mixture, model, variables, cfg,
-            beamformer=args.beamformer, feature_kind=args.features,
+            beamformer=args.beamformer, feature_kind=model_features(args),
         )
 
     if timer is not None:

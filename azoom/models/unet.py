@@ -36,8 +36,33 @@ import jax.numpy as jnp
 
 __all__ = [
     "FreqPreservingUNet", "DeepFPU", "TPUFPU", "QConv", "pad_frames",
-    "time_pool_factor",
+    "time_pool_factor", "fold_freq", "unfold_freq",
 ]
+
+
+def fold_freq(x: jnp.ndarray, fold: int) -> jnp.ndarray:
+    """Space-to-depth on the frequency axis: (..., F, T, C) ->
+    (..., ceil(F/fold), T, fold*C), zero-padding F up to a multiple of
+    ``fold``. Bin k of the input lands in folded row k//fold, channel
+    group k%fold — :func:`unfold_freq` is the exact inverse per lane."""
+    F = x.shape[-3]
+    pad_f = (-F) % fold
+    if pad_f:
+        widths = [(0, 0)] * (x.ndim - 3) + [(0, pad_f), (0, 0), (0, 0)]
+        x = jnp.pad(x, widths)
+    shape = x.shape
+    Fp = shape[-3] // fold
+    x = x.reshape(shape[:-3] + (Fp, fold, shape[-2], shape[-1]))
+    x = jnp.moveaxis(x, -3, -2)  # (..., Fp, T, fold, C)
+    return x.reshape(shape[:-3] + (Fp, shape[-2], fold * shape[-1]))
+
+
+def unfold_freq(y: jnp.ndarray, fold: int, n_freqs: int) -> jnp.ndarray:
+    """Depth-to-space inverse of :func:`fold_freq` for one lane per
+    folded bin: (..., Fp, T, fold) -> (..., n_freqs, T)."""
+    y = jnp.moveaxis(y, -1, -2)  # (..., Fp, fold, T)
+    y = y.reshape(y.shape[:-3] + (y.shape[-3] * fold, y.shape[-1]))
+    return y[..., :n_freqs, :]
 
 
 class QConv(nn.Module):
@@ -308,17 +333,7 @@ class TPUFPU(nn.Module):
     def __call__(self, x, train: bool = False):
         d, q, fold = self.dtype, self.quant, self.fold
         F = x.shape[-3]
-        pad_f = (-F) % fold
-        if pad_f:
-            widths = [(0, 0)] * (x.ndim - 3) + [(0, pad_f), (0, 0), (0, 0)]
-            x = jnp.pad(x, widths)
-        Fp = (F + pad_f) // fold
-        # Space-to-depth on frequency: (..., Fp, fold, T, C) -> channels.
-        shape = x.shape
-        x = x.reshape(shape[:-3] + (Fp, fold, shape[-2], shape[-1]))
-        x = jnp.moveaxis(x, -3, -2)  # (..., Fp, T, fold, C)
-        x = x.reshape(shape[:-3] + (Fp, shape[-2], fold * shape[-1]))
-        x = x.astype(d)
+        x = fold_freq(x, fold).astype(d)
 
         def enc_level(h, feats, first=False):
             if first:
@@ -348,6 +363,4 @@ class TPUFPU(nn.Module):
 
         # Head: one mask lane per folded bin, then depth-to-space back.
         out = nn.Conv(fold, (1, 1), dtype=jnp.float32)(h.astype(jnp.float32))
-        out = jnp.moveaxis(out, -1, -2)  # (..., Fp, fold, T)
-        out = out.reshape(out.shape[:-3] + (Fp * fold, out.shape[-1]))
-        return nn.sigmoid(out[..., :F, :])
+        return nn.sigmoid(unfold_freq(out, fold, F))

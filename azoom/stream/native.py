@@ -115,15 +115,22 @@ class NativeStream:
 
     def windows(self):
         """Yield each ready (M, win) analysis window (a reused buffer —
-        consume or copy before the next iteration)."""
+        consume or copy before the next iteration). Windows are PEEKED:
+        each yielded window MUST be answered with :meth:`commit` to
+        advance the stream (the transactional contract — an enhancement
+        failure between peek and commit loses no audio); skipping commit
+        would re-yield the same window forever."""
         while self._lib.azoom_stream_next_window(self._h, self._wbuf):
             yield self._wbuf
 
     def commit(self, enhanced) -> np.ndarray:
-        """OLA the enhanced (win,) window; returns finalized samples
-        ((hop,) once the stream is warm, (0,) for the first window)."""
+        """Consume the last peeked window and OLA its enhancement;
+        returns finalized samples ((hop,) once the stream is warm, (0,)
+        for the first window)."""
         enhanced = np.ascontiguousarray(enhanced, np.float32)
         if enhanced.shape != (self.win,):
             raise ValueError(f"expected ({self.win},), got {enhanced.shape}")
         n = self._lib.azoom_stream_commit(self._h, enhanced, self._obuf)
+        if n < 0:
+            raise RuntimeError("commit with no pending window")
         return self._obuf[:n].copy()

@@ -42,9 +42,14 @@ class AudioZoom:
       enhance_fn: optional override (M, win) -> (win,); defaults to the
         blind autosteer pipeline under the current zoom state.
       model: optional bundled mask-net name ('fpu', 'fpu_reverb',
-        'fpu_multigeo', 'deepfpu') — routes enhancement through the
-        learned pipeline instead of autosteer. Use 'fpu_multigeo' for
-        arrays whose spacing differs from the 4 cm training default.
+        'fpu_multigeo', 'deepfpu', 'tpufpu') — routes enhancement through
+        the learned pipeline instead of autosteer. 'tpufpu' is the
+        MXU-shaped serving flagship (fastest at the trained 4 cm
+        geometry); use 'fpu_multigeo' for arrays whose spacing differs
+        from that default.
+      native: allow the C++ stream runtime for push() buffering (built
+        on first use if a toolchain is present — a one-time ~2 s `make`;
+        set False to pin the pure-NumPy path).
     """
 
     cfg: PipelineConfig = PipelineConfig(mic_dist=0.04)
@@ -53,6 +58,7 @@ class AudioZoom:
     zoom: float = 0.5
     enhance_fn: Callable | None = None
     model: str | None = None
+    native: bool = True
 
     def __post_init__(self):
         self._mask_net = None
@@ -118,7 +124,7 @@ class AudioZoom:
 
         self._native = (
             NativeStream(self.cfg.n_mics, self._win)
-            if native_available() else None
+            if self.native and native_available() else None
         )
         self._inbuf = np.zeros((self.cfg.n_mics, 0), np.float32)
         self._tail = np.zeros(self._hop, np.float32)

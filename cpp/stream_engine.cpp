@@ -13,16 +13,23 @@
 // Exposed as a C ABI consumed via ctypes (azoom/stream/native.py). Build:
 //   g++ -O3 -march=native -shared -fPIC stream_engine.cpp -o libstream.so
 //
-// Protocol per window:
+// Protocol per window (transactional: the stream only advances on
+// commit, so a failed enhancement between peek and commit leaves the
+// buffer untouched and the window is re-presented on the next peek):
 //   push(samples)            -> buffer (M, k) planar samples
 //   windows_ready()          -> how many full windows are extractable
-//   next_window(out)         -> pop one (M, win) window, advance by hop
-//   commit(enhanced, out)    -> Hann-weight + OLA; writes hop finalized
-//                               samples (0 for the first window: its
-//                               second half becomes the pending tail)
+//   next_window(out)         -> PEEK one (M, win) window (no advance)
+//   commit(enhanced, out)    -> advance by hop; Hann-weight + OLA; writes
+//                               hop finalized samples (0 for the first
+//                               window: its second half becomes the
+//                               pending tail)
+// All entry points take an internal mutex: ctypes releases the GIL, so a
+// producer thread (audio callback pushing) and a consumer thread
+// (peek/commit draining) may race otherwise.
 
 #include <cmath>
 #include <cstring>
+#include <mutex>
 #include <vector>
 
 namespace {
@@ -30,6 +37,7 @@ namespace {
 constexpr double kPi = 3.14159265358979323846;
 
 struct StreamState {
+  std::mutex mu;
   int n_mics = 0;
   int win = 0;
   int hop = 0;
@@ -75,6 +83,7 @@ void azoom_stream_destroy(void* h) { delete static_cast<StreamState*>(h); }
 
 void azoom_stream_reset(void* h) {
   auto* s = static_cast<StreamState*>(h);
+  std::lock_guard<std::mutex> lock(s->mu);
   for (auto& c : s->chan) c.clear();
   s->read = 0;
   s->size = 0;
@@ -86,6 +95,7 @@ void azoom_stream_reset(void* h) {
 int azoom_stream_push(void* h, const float* samples, int n) {
   if (n < 0) return -1;
   auto* s = static_cast<StreamState*>(h);
+  std::lock_guard<std::mutex> lock(s->mu);
   // Compact lazily so each vector stays bounded by live size + one push.
   const bool compact = s->read > static_cast<size_t>(s->win);
   for (int m = 0; m < s->n_mics; ++m) {
@@ -101,31 +111,38 @@ int azoom_stream_push(void* h, const float* samples, int n) {
 
 int azoom_stream_windows_ready(void* h) {
   auto* s = static_cast<StreamState*>(h);
+  std::lock_guard<std::mutex> lock(s->mu);
   if (s->size < static_cast<size_t>(s->win)) return 0;
   return static_cast<int>((s->size - static_cast<size_t>(s->win)) /
                               static_cast<size_t>(s->hop) +
                           1);
 }
 
-// out: float[n_mics][win]. Returns 1 if a window was produced, else 0.
+// out: float[n_mics][win]. PEEK: returns 1 and fills `out` if a window is
+// ready, else 0. Does NOT advance — commit() consumes the window, so an
+// enhancement failure between peek and commit loses nothing.
 int azoom_stream_next_window(void* h, float* out) {
   auto* s = static_cast<StreamState*>(h);
+  std::lock_guard<std::mutex> lock(s->mu);
   if (s->size < static_cast<size_t>(s->win)) return 0;
   for (int m = 0; m < s->n_mics; ++m) {
     std::memcpy(out + static_cast<size_t>(m) * s->win,
                 s->chan[static_cast<size_t>(m)].data() + s->read,
                 sizeof(float) * static_cast<size_t>(s->win));
   }
-  s->read += static_cast<size_t>(s->hop);
-  s->size -= static_cast<size_t>(s->hop);
   return 1;
 }
 
-// enhanced: float[win] (the mono enhanced window for the last
-// next_window). out: float[hop]. Returns number of finalized samples
-// written (hop, or 0 for the very first window of a stream).
+// enhanced: float[win] (the mono enhanced window for the last peeked
+// next_window). out: float[hop]. Consumes the window (advances by hop)
+// and returns the number of finalized samples written (hop, or 0 for
+// the very first window of a stream); -1 if no window was pending.
 int azoom_stream_commit(void* h, const float* enhanced, float* out) {
   auto* s = static_cast<StreamState*>(h);
+  std::lock_guard<std::mutex> lock(s->mu);
+  if (s->size < static_cast<size_t>(s->win)) return -1;
+  s->read += static_cast<size_t>(s->hop);
+  s->size -= static_cast<size_t>(s->hop);
   const int hop = s->hop;
   int written = 0;
   if (s->started) {

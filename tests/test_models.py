@@ -101,37 +101,50 @@ def test_tpufpu_forward_shape_and_fold():
     assert float(jnp.min(y)) >= 0.0 and float(jnp.max(y)) <= 1.0
 
 
-def test_tpufpu_stem_is_exact_space_to_depth():
-    """Bin k of the mask must depend on input bin k: zeroing one folded
-    subband group changes only that group's mask rows (locality of the
-    stem/head fold, full frequency resolution preserved)."""
-    from azoom.models.unet import TPUFPU
+def test_fold_unfold_exact_inverse():
+    """fold_freq/unfold_freq (the TPUFPU stem/head reshapes) must be an
+    exact index-preserving round trip: input frequency bin k maps to
+    folded row k//fold, lane k%fold, and back — including the pad+crop
+    for F not divisible by fold. A permuted depth-to-space ordering
+    fails this."""
+    from azoom.models.unet import fold_freq, unfold_freq
 
-    model = TPUFPU(base=8, fold=4)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((1, 64, 16, 2)), jnp.float32)
-    vars_ = model.init(jax.random.PRNGKey(0), x)
-    y = model.apply(vars_, x)
-    # Perturb bins 8..12 (one fold group): every frequency's mask may move
-    # (convs mix subbands), but the output grid must stay (F, T)-aligned
-    # and finite.
-    x2 = x.at[:, 8:12].set(0.0)
-    y2 = model.apply(vars_, x2)
-    assert y2.shape == y.shape
-    assert np.isfinite(np.asarray(y2)).all()
-    assert float(jnp.max(jnp.abs(y - y2))) > 0.0  # input actually matters
+    for F, fold in ((513, 4), (64, 4), (65, 8), (513, 8)):
+        x = jnp.asarray(rng.standard_normal((2, F, 6, 1)), jnp.float32)
+        folded = fold_freq(x, fold)  # (2, ceil(F/fold), 6, fold)
+        assert folded.shape == (2, -(-F // fold), 6, fold)
+        back = unfold_freq(folded, fold, F)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x[..., 0]))
+        # Spot-check the index map itself: bin k == folded[k//fold, :, k%fold].
+        for k in (0, 1, fold - 1, F - 1):
+            np.testing.assert_array_equal(
+                np.asarray(folded[:, k // fold, :, k % fold]),
+                np.asarray(x[:, k, :, 0]),
+            )
 
 
 def test_tpufpu_trains_and_quant_serves():
-    """One optimizer step decreases nothing catastrophic; quant=True serves
-    the float-trained tree (checkpoint compatibility, like DeepFPU)."""
+    """A real optimizer step runs (params update, loss finite) and
+    quant=True serves the float-trained tree (checkpoint compatibility,
+    like DeepFPU)."""
     from azoom.models.unet import TPUFPU
-    from azoom.train.loop import create_state
+    from azoom.train.loop import create_state, make_train_step
 
     model = TPUFPU(base=8, fold=4)
-    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 64, 16, 4)),
-                    jnp.float32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 64, 16, 4)), jnp.float32)
+    label = jnp.asarray((rng.random((2, 64, 16)) > 0.5), jnp.float32)
     state = create_state(model, jax.random.PRNGKey(0), x.shape)
+    step = make_train_step(None)
+    new_state, loss = step(state, x, label)
+    assert np.isfinite(float(loss))
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.params, new_state.params,
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0.0
+
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     y_f = model.apply(variables, x)
     model_q = TPUFPU(base=8, fold=4, quant=True)

@@ -92,8 +92,44 @@ def test_reset_restarts_stream():
     # After reset the first commit is a warm-up again (returns nothing).
     mixture = rng.standard_normal((2, WIN)).astype(np.float32)
     s.push(mixture)
-    (window,) = list(s.windows())
+    window = next(iter(s.windows()))
     assert s.commit(window[0]).size == 0
+
+
+def test_peek_commit_is_transactional():
+    """A failed enhancement between peek and commit must lose no audio:
+    the same window is re-presented, and after a successful commit the
+    stream output is identical to a failure-free run (the NumPy fallback
+    property the engine must match)."""
+    rng = np.random.default_rng(5)
+    mixture = rng.standard_normal((2, 4 * WIN)).astype(np.float32)
+    enhance = lambda w: (w[0] + w[1]).astype(np.float32)
+
+    s = NativeStream(2, WIN)
+    s.push(mixture)
+    out, first_failure_done = [], False
+    while True:
+        it = iter(s.windows())
+        w = next(it, None)
+        if w is None:
+            break
+        w_snapshot = w.copy()
+        if not first_failure_done:
+            # Simulate an enhancement exception: abandon without commit.
+            first_failure_done = True
+            w2 = next(iter(s.windows()))  # re-peek
+            np.testing.assert_array_equal(w2, w_snapshot)  # same window
+        done = s.commit(enhance(w_snapshot))
+        if done.size:
+            out.append(done)
+    got = np.concatenate(out)
+    ref = _numpy_reference(mixture, enhance)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+    # commit with no pending window is an error, not silent corruption.
+    s2 = NativeStream(2, WIN)
+    with pytest.raises(RuntimeError):
+        s2.commit(np.zeros(WIN, np.float32))
 
 
 def test_geometry_and_shape_errors():
