@@ -81,11 +81,18 @@ def main():
             cfg.n_fft, cfg.hop, length=n),
     }
     try:
-        from azoom.models.pretrained import load_pretrained_fpu
+        from azoom.models.pretrained import load_bundled
         from azoom.pipelines.learned import learned_enhance
 
-        model, variables = load_pretrained_fpu()
+        model, variables, kind = load_bundled("fpu")
         candidates["learned FPU + MVDR"] = learned_enhance(mix, model, variables, cfg)
+        candidates["learned FPU + RMVB"] = learned_enhance(
+            mix, model, variables, cfg, beamformer="rmvb"
+        )
+        tq, vq, kq = load_bundled("tpufpu", quant=True)
+        candidates["TPUFPU int8 + MVDR"] = learned_enhance(
+            mix, tq, vq, cfg, feature_kind=kq
+        )
     except FileNotFoundError:
         pass
 
