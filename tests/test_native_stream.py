@@ -166,3 +166,74 @@ def test_audiozoom_uses_native_and_matches_fallback():
             parts.append(z.push(mixture[:, start : start + 1_600]))
         outs.append(np.concatenate(parts))
     np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=1e-5)
+
+
+def test_audiozoom_push_recovers_from_enhance_failure():
+    """Facade-level transactional property: if enhance_fn raises
+    mid-stream, no audio is lost — retrying push produces exactly the
+    audio a failure-free run produces."""
+    import jax.numpy as jnp
+
+    from azoom import AudioZoom, PipelineConfig
+
+    cfg = PipelineConfig(mic_dist=0.04)
+    rng = np.random.default_rng(7)
+    mixture = rng.standard_normal((2, 3 * cfg.win_size)).astype(np.float32)
+
+    calls = {"n": 0}
+
+    def flaky(w):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail exactly once, on the second window
+            raise RuntimeError("transient device error")
+        return jnp.asarray(w)[0] * 0.5
+
+    z = AudioZoom(cfg=cfg, enhance_fn=flaky)
+    assert z._native is not None
+    parts = []
+    for start in range(0, mixture.shape[1], 4_000):
+        block = mixture[:, start : start + 4_000]
+        try:
+            parts.append(z.push(block))
+        except RuntimeError:
+            parts.append(z.push(np.zeros((2, 0), np.float32)))  # retry
+    got = np.concatenate(parts)
+
+    z_ref = AudioZoom(cfg=cfg, enhance_fn=lambda w: jnp.asarray(w)[0] * 0.5)
+    ref = np.concatenate([
+        z_ref.push(mixture[:, s : s + 4_000])
+        for s in range(0, mixture.shape[1], 4_000)
+    ])
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+
+def test_concurrent_producer_consumer():
+    """The engine's documented pattern: an audio callback pushing from one
+    thread while a worker drains from another. ctypes releases the GIL,
+    so without the internal mutex this corrupts the ring buffer."""
+    import threading
+
+    rng = np.random.default_rng(9)
+    n = 40 * HOP
+    mixture = rng.standard_normal((2, n)).astype(np.float32)
+    enhance = lambda w: (0.75 * w[0]).astype(np.float32)
+    s = NativeStream(2, WIN)
+
+    def producer():
+        for start in range(0, n, 160):  # 10 ms blocks
+            s.push(mixture[:, start : start + 160])
+
+    out, done = [], threading.Event()
+
+    def consumer():
+        while not (done.is_set() and s.windows_ready() == 0):
+            for w in s.windows():
+                out.append(s.commit(enhance(w.copy())))
+
+    t_p = threading.Thread(target=producer)
+    t_c = threading.Thread(target=consumer)
+    t_c.start(); t_p.start()
+    t_p.join(); done.set(); t_c.join(timeout=30)
+    got = np.concatenate([o for o in out if o.size])
+    ref = _numpy_reference(mixture, enhance)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
