@@ -89,6 +89,11 @@ class QConv(nn.Module):
         end-to-end on v5e, see RESULTS.md).
     The collection is never created at ``init``, so the parameter tree —
     and thus every bundled checkpoint — is unchanged.
+
+    SERVING ONLY: ``jnp.round`` has zero gradient, so a ``quant=True``
+    model cannot learn (no straight-through estimator by design — train
+    float, serve int8; the parameter-tree compatibility above is exactly
+    what makes that free).
     """
 
     _CALIB_PCT = 99.9  # |x| percentile recorded during calibration

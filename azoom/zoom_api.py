@@ -129,6 +129,11 @@ class AudioZoom:
         self._inbuf = np.zeros((self.cfg.n_mics, 0), np.float32)
         self._tail = np.zeros(self._hop, np.float32)
         self._started = False
+        # Finalized hops not yet handed to the caller: lives on the object
+        # (not a push()-local) so an enhancement failure on a LATER window
+        # of the same push cannot discard audio already finalized by
+        # earlier windows — the retry returns it.
+        self._out_pending: list[np.ndarray] = []
         w = np.hanning(self._win + 1)[:-1].astype(np.float32)
         self._window = w
         # 50% Hann overlap-add sums to a (nearly) constant; dividing by the
@@ -142,32 +147,36 @@ class AudioZoom:
             self._inbuf = np.zeros((self.cfg.n_mics, 0), np.float32)
             self._tail[:] = 0.0
             self._started = False
+            self._out_pending = []
             return
         self._reset_stream()
 
     def push(self, samples) -> np.ndarray:
         """Feed (M, k) new samples; returns whatever enhanced audio is ready
-        (multiple of hop samples, possibly empty)."""
+        (multiple of hop samples, possibly empty). Transactional under
+        enhancement failure: if the enhancer raises, no audio is lost —
+        already-finalized hops are returned by the next push, and the
+        failed window is re-processed."""
         samples = np.asarray(samples, np.float32)
+        out = self._out_pending
         if self._native is not None:
             self._native.push(samples)
-            out = []
             for window in self._native.windows():
                 enhanced = to_numpy(self._enhance_window(jnp.asarray(window)))
                 done = self._native.commit(enhanced)
                 if done.size:
                     out.append(done)
-            return np.concatenate(out) if out else np.zeros(0, np.float32)
-        self._inbuf = np.concatenate([self._inbuf, samples], axis=1)
-        out = []
-        while self._inbuf.shape[1] >= self._win:
-            window = self._inbuf[:, : self._win]
-            enhanced = to_numpy(self._enhance_window(jnp.asarray(window)))
-            weighted = enhanced * self._window
-            head = weighted[: self._hop]
-            if self._started:
-                out.append((self._tail + head) / self._ola_norm)
-            self._tail = weighted[self._hop :]
-            self._started = True
-            self._inbuf = self._inbuf[:, self._hop :]
+        else:
+            self._inbuf = np.concatenate([self._inbuf, samples], axis=1)
+            while self._inbuf.shape[1] >= self._win:
+                window = self._inbuf[:, : self._win]
+                enhanced = to_numpy(self._enhance_window(jnp.asarray(window)))
+                weighted = enhanced * self._window
+                head = weighted[: self._hop]
+                if self._started:
+                    out.append((self._tail + head) / self._ola_norm)
+                self._tail = weighted[self._hop :]
+                self._started = True
+                self._inbuf = self._inbuf[:, self._hop :]
+        self._out_pending = []
         return np.concatenate(out) if out else np.zeros(0, np.float32)

@@ -80,15 +80,20 @@ def main():
                                  90.0, 10.0, cfg.mic_dist, cfg.c, 1e-6),
             cfg.n_fft, cfg.hop, length=n),
     }
-    try:
-        from azoom.models.pretrained import load_bundled
-        from azoom.pipelines.learned import learned_enhance
+    from azoom.models.pretrained import load_bundled
+    from azoom.pipelines.learned import learned_enhance
 
+    try:
         model, variables, kind = load_bundled("fpu")
-        candidates["learned FPU + MVDR"] = learned_enhance(mix, model, variables, cfg)
-        candidates["learned FPU + RMVB"] = learned_enhance(
-            mix, model, variables, cfg, beamformer="rmvb"
+        candidates["learned FPU + MVDR"] = learned_enhance(
+            mix, model, variables, cfg, feature_kind=kind
         )
+        candidates["learned FPU + RMVB"] = learned_enhance(
+            mix, model, variables, cfg, beamformer="rmvb", feature_kind=kind
+        )
+    except FileNotFoundError:
+        pass
+    try:
         tq, vq, kq = load_bundled("tpufpu", quant=True)
         candidates["TPUFPU int8 + MVDR"] = learned_enhance(
             mix, tq, vq, cfg, feature_kind=kq

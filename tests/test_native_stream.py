@@ -168,41 +168,49 @@ def test_audiozoom_uses_native_and_matches_fallback():
     np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=1e-5)
 
 
-def test_audiozoom_push_recovers_from_enhance_failure():
+@pytest.mark.parametrize("use_native", [True, False])
+@pytest.mark.parametrize("fail_on", [2, 4])
+def test_audiozoom_push_recovers_from_enhance_failure(use_native, fail_on):
     """Facade-level transactional property: if enhance_fn raises
     mid-stream, no audio is lost — retrying push produces exactly the
-    audio a failure-free run produces."""
+    audio a failure-free run produces. fail_on=4 hits a LATER window of
+    a single multi-window push, so hops finalized by the earlier windows
+    of that same push must survive the exception (they live on the
+    object, not in a push-local)."""
     import jax.numpy as jnp
 
     from azoom import AudioZoom, PipelineConfig
 
     cfg = PipelineConfig(mic_dist=0.04)
     rng = np.random.default_rng(7)
-    mixture = rng.standard_normal((2, 3 * cfg.win_size)).astype(np.float32)
+    mixture = rng.standard_normal((2, 4 * cfg.win_size)).astype(np.float32)
+    block = 2 * cfg.win_size  # multiple windows become ready per push
 
     calls = {"n": 0}
 
     def flaky(w):
         calls["n"] += 1
-        if calls["n"] == 2:  # fail exactly once, on the second window
+        if calls["n"] == fail_on:  # fail exactly once
             raise RuntimeError("transient device error")
         return jnp.asarray(w)[0] * 0.5
 
-    z = AudioZoom(cfg=cfg, enhance_fn=flaky)
-    assert z._native is not None
+    z = AudioZoom(cfg=cfg, enhance_fn=flaky, native=use_native)
+    assert (z._native is not None) == use_native
     parts = []
-    for start in range(0, mixture.shape[1], 4_000):
-        block = mixture[:, start : start + 4_000]
+    for start in range(0, mixture.shape[1], block):
         try:
-            parts.append(z.push(block))
+            parts.append(z.push(mixture[:, start : start + block]))
         except RuntimeError:
             parts.append(z.push(np.zeros((2, 0), np.float32)))  # retry
     got = np.concatenate(parts)
 
-    z_ref = AudioZoom(cfg=cfg, enhance_fn=lambda w: jnp.asarray(w)[0] * 0.5)
+    z_ref = AudioZoom(
+        cfg=cfg, enhance_fn=lambda w: jnp.asarray(w)[0] * 0.5,
+        native=use_native,
+    )
     ref = np.concatenate([
-        z_ref.push(mixture[:, s : s + 4_000])
-        for s in range(0, mixture.shape[1], 4_000)
+        z_ref.push(mixture[:, s : s + block])
+        for s in range(0, mixture.shape[1], block)
     ])
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
 
@@ -234,6 +242,7 @@ def test_concurrent_producer_consumer():
     t_c = threading.Thread(target=consumer)
     t_c.start(); t_p.start()
     t_p.join(); done.set(); t_c.join(timeout=30)
+    assert not t_c.is_alive(), "consumer did not drain within 30 s"
     got = np.concatenate([o for o in out if o.size])
     ref = _numpy_reference(mixture, enhance)
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
