@@ -30,8 +30,8 @@ def build_parser():
                    choices=["oracle", "mvdr", "hard_null", "rmvb", "gev"])
     p.add_argument("--model", default="fpu",
                    choices=["fpu", "deepfpu", "tpufpu"],
-                   help="mask net for learned beamformers (vectorized "
-                        "mode); tpufpu = MXU-shaped flagship")
+                   help="mask net for learned beamformers (both modes); "
+                        "tpufpu = MXU-shaped flagship")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--int8", action="store_true",
                    help="serve the mask net on the int8-MXU path "
