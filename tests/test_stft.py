@@ -62,3 +62,30 @@ def test_config_frames_per_chunk_matches_stft():
         assert cfg.frames_per_chunk == stft_frame_count(
             cfg.win_size, cfg.n_fft, cfg.hop
         )
+
+
+def test_matmul_dft_matches_fft_path(monkeypatch):
+    """The TPU matmul-DFT forward path (window + scaling folded into the
+    DFT matrices) must match the pocketfft path to float32 round-off, for
+    every shape class the pipelines use."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    # azoom.dsp re-exports the stft *function*, which shadows the
+    # submodule on attribute lookup — resolve the module explicitly.
+    S = importlib.import_module("azoom.dsp.stft")
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 2, 9_000)), jnp.float32)
+    ref = S.stft(x, 1024, 512)  # fft path (CPU backend)
+    monkeypatch.setattr(S, "_use_matmul_dft", lambda n_fft: True)
+    # Bypass the jitted wrapper: its trace cache would otherwise ignore
+    # the patched gate and trivially return the fft-path program.
+    got = S.stft.__wrapped__(x, 1024, 512)
+    scale = float(jnp.max(jnp.abs(ref)))
+    err = float(jnp.max(jnp.abs(got - ref))) / scale
+    assert err < 1e-5, err
+    # Round-trip through the unchanged iSTFT stays exact.
+    y = S.istft(got, 1024, 512, length=9_000)
+    assert float(jnp.max(jnp.abs(y - x))) < 1e-4
