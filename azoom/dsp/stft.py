@@ -112,6 +112,31 @@ def _dft_windowed(n_fft: int):
     )
 
 
+@functools.lru_cache(maxsize=4)
+def _idft_windowed(n_fft: int):
+    """(n_freqs, n_fft) real/imag one-sided inverse-DFT matrices with the
+    Hermitian-symmetry weights (1/N for the DC/Nyquist bins, 2/N for the
+    interior) and the synthesis window * win.sum() scaling folded in.
+    x = Re(Z) @ A - Im(Z) @ B reproduces irfft(Z) * win * win.sum().
+    Host NumPy for the same trace-safety reasons as _dft_windowed."""
+    import numpy as np
+
+    from azoom.dsp.windows import hann_np
+
+    n_freqs = n_fft // 2 + 1
+    k = np.arange(n_freqs)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    wk = np.full((n_freqs, 1), 2.0 / n_fft)
+    wk[0] = wk[-1] = 1.0 / n_fft
+    w64 = hann_np(n_fft).astype(np.float64)
+    col = (w64 * np.sum(w64))[None, :]
+    return (
+        np.asarray(np.cos(ang) * wk * col, np.float32),
+        np.asarray(np.sin(ang) * wk * col, np.float32),
+    )
+
+
 def _use_matmul_dft(n_fft: int) -> bool:
     return jax.default_backend() == "tpu" and n_fft <= 2048
 
@@ -152,8 +177,17 @@ def istft(
     an exact sample count.
     """
     win = hann(n_fft)
-    frames = jnp.fft.irfft(jnp.swapaxes(Z, -1, -2), n=n_fft, axis=-1)
-    frames = frames * win * jnp.sum(win)
+    Zt = jnp.swapaxes(Z, -1, -2)  # (..., T, F)
+    if _use_matmul_dft(n_fft):
+        amat, bmat = _idft_windowed(n_fft)
+        hi = jax.lax.Precision.HIGHEST
+        frames = (
+            jnp.matmul(Zt.real, jnp.asarray(amat), precision=hi)
+            - jnp.matmul(Zt.imag, jnp.asarray(bmat), precision=hi)
+        )
+    else:
+        frames = jnp.fft.irfft(Zt, n=n_fft, axis=-1)
+        frames = frames * win * jnp.sum(win)
     x = _overlap_add(frames, hop)
 
     n_frames = Z.shape[-1]

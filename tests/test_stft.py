@@ -86,6 +86,9 @@ def test_matmul_dft_matches_fft_path(monkeypatch):
     scale = float(jnp.max(jnp.abs(ref)))
     err = float(jnp.max(jnp.abs(got - ref))) / scale
     assert err < 1e-5, err
-    # Round-trip through the unchanged iSTFT stays exact.
-    y = S.istft(got, 1024, 512, length=9_000)
-    assert float(jnp.max(jnp.abs(y - x))) < 1e-4
+    # Inverse matmul path: must match the irfft-based iSTFT and close the
+    # round trip back to the input.
+    y_ref = S.istft(ref, 1024, 512, length=9_000)
+    y_mm = S.istft.__wrapped__(got, 1024, 512, length=9_000)
+    assert float(jnp.max(jnp.abs(y_mm - y_ref))) < 1e-4
+    assert float(jnp.max(jnp.abs(y_mm - x))) < 1e-4
