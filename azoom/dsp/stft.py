@@ -128,7 +128,10 @@ def _idft_windowed(n_fft: int):
     n = np.arange(n_fft)[None, :]
     ang = 2.0 * np.pi * k * n / n_fft
     wk = np.full((n_freqs, 1), 2.0 / n_fft)
-    wk[0] = wk[-1] = 1.0 / n_fft
+    wk[0] = 1.0 / n_fft
+    if n_fft % 2 == 0:
+        wk[-1] = 1.0 / n_fft  # Nyquist bin exists (and is self-conjugate)
+        # only for even n_fft; for odd n_fft the top bin has a partner.
     w64 = hann_np(n_fft).astype(np.float64)
     col = (w64 * np.sum(w64))[None, :]
     return (

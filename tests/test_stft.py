@@ -64,10 +64,14 @@ def test_config_frames_per_chunk_matches_stft():
         )
 
 
-def test_matmul_dft_matches_fft_path(monkeypatch):
-    """The TPU matmul-DFT forward path (window + scaling folded into the
-    DFT matrices) must match the pocketfft path to float32 round-off, for
-    every shape class the pipelines use."""
+@pytest.mark.parametrize("n_fft,hop", [(512, 256), (1024, 512)])
+def test_matmul_dft_matches_fft_path(monkeypatch, n_fft, hop):
+    """The TPU matmul-DFT forward/inverse paths (window + scaling folded
+    into the DFT matrices) must match the pocketfft paths to float32
+    round-off, for both pipeline STFT configurations. Both reference and
+    matmul computations pin their gate explicitly (so the comparison is
+    fft-vs-matmul on every backend) and bypass the jitted wrappers
+    (whose trace caches would ignore the patched gate)."""
     import importlib
 
     import jax.numpy as jnp
@@ -78,17 +82,37 @@ def test_matmul_dft_matches_fft_path(monkeypatch):
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((3, 2, 9_000)), jnp.float32)
-    ref = S.stft(x, 1024, 512)  # fft path (CPU backend)
-    monkeypatch.setattr(S, "_use_matmul_dft", lambda n_fft: True)
-    # Bypass the jitted wrapper: its trace cache would otherwise ignore
-    # the patched gate and trivially return the fft-path program.
-    got = S.stft.__wrapped__(x, 1024, 512)
+    monkeypatch.setattr(S, "_use_matmul_dft", lambda n: False)
+    ref = S.stft.__wrapped__(x, n_fft, hop)
+    y_ref = S.istft.__wrapped__(ref, n_fft, hop, length=9_000)
+    monkeypatch.setattr(S, "_use_matmul_dft", lambda n: True)
+    got = S.stft.__wrapped__(x, n_fft, hop)
     scale = float(jnp.max(jnp.abs(ref)))
     err = float(jnp.max(jnp.abs(got - ref))) / scale
     assert err < 1e-5, err
-    # Inverse matmul path: must match the irfft-based iSTFT and close the
-    # round trip back to the input.
-    y_ref = S.istft(ref, 1024, 512, length=9_000)
-    y_mm = S.istft.__wrapped__(got, 1024, 512, length=9_000)
+    y_mm = S.istft.__wrapped__(got, n_fft, hop, length=9_000)
     assert float(jnp.max(jnp.abs(y_mm - y_ref))) < 1e-4
     assert float(jnp.max(jnp.abs(y_mm - x))) < 1e-4
+
+
+@pytest.mark.parametrize("n_fft", [16, 17, 512, 513])
+def test_idft_matrix_matches_irfft_any_parity(n_fft):
+    """The inverse-DFT matrices must reproduce irfft for even AND odd
+    n_fft (odd sizes have no Nyquist bin, so the Hermitian weight of the
+    top bin differs — a round-2 review finding)."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    S = importlib.import_module("azoom.dsp.stft")
+    rng = np.random.default_rng(1)
+    F = n_fft // 2 + 1
+    Z = jnp.asarray(
+        rng.standard_normal((5, F)) + 1j * rng.standard_normal((5, F)),
+        jnp.complex64,
+    )
+    win = np.asarray(S.hann(n_fft))
+    ref = np.fft.irfft(np.asarray(Z), n=n_fft, axis=-1) * win * win.sum()
+    A, B = S._idft_windowed(n_fft)
+    got = np.asarray(Z.real) @ A - np.asarray(Z.imag) @ B
+    np.testing.assert_allclose(got, ref, atol=1e-4 * max(1.0, np.abs(ref).max()))
