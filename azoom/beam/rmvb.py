@@ -81,6 +81,14 @@ def rmvb_weights(
     gmin_pos = jnp.maximum(gam[..., 0], 1e-6 * gmax)
     lam_hi = (jnp.sqrt(norm2 / eps) - 1.0) / gmin_pos
     lam_hi = jnp.maximum(lam_hi, 0.0)
+    # No-root guard: for near-rank-1 R (gam_min ~ 0 — e.g. one coherent
+    # source on 2 mics) g(lam) -> b2 along the small eigenvector as
+    # lam -> inf, so g(lam) = eps may have no solution and the bisection
+    # would saturate at a bound set by the gmin clamp rather than by the
+    # uncertainty constraint. Detect it by checking the bracket actually
+    # brackets (g(lam_hi) <= eps) and fall back to the nominal steering
+    # at those bins.
+    has_root = g(lam_hi) <= eps
     lo = jnp.zeros_like(lam_hi)
     hi = lam_hi
     for _ in range(_BISECT_ITERS):
@@ -93,6 +101,7 @@ def rmvb_weights(
     # a_hat = d - (I + lam R)^{-1} d  (in the eigenbasis: elementwise).
     b_corr = b * (1.0 - 1.0 / (1.0 + lam[..., None] * gam)).astype(b.dtype)
     a_hat = jnp.einsum("...ij,...j->...i", U, b_corr)
+    a_hat = jnp.where(has_root[..., None], a_hat, d)
     # Degenerate guard: if the correction collapsed (eps ~ ||d||^2 or
     # R ~ 0), fall back to the nominal steering.
     a_norm2 = jnp.sum(jnp.abs(a_hat) ** 2, axis=-1, keepdims=True)

@@ -37,6 +37,11 @@ def build_parser():
                    help="serve the mask net on the int8-MXU path "
                         "(same artifacts, ~1.5x faster on v5e)")
     p.add_argument("--no-reverb", action="store_true")
+    p.add_argument("--interferer-kind", default="speech",
+                   choices=["speech", "babble", "music", "noise"],
+                   help="interference class (the reference's --dataset "
+                        "musan axis): babble = summed talkers, music = "
+                        "harmonic texture, noise = 1/f texture")
     p.add_argument("--fixed-angles", action="store_true",
                    help="anechoic scenes use the fixed 40/130 deg geometry "
                         "instead of randomized interferer angles")
@@ -131,6 +136,7 @@ def run_vectorized(args):
         reverb=reverb,
         randomize=not args.fixed_angles,
         with_waveforms=not args.no_pesq,
+        interferer_kind=args.interferer_kind,
     )
     if args.beamformer == "oracle":
         if args.steer_error:
@@ -264,6 +270,7 @@ def run_per_run(args):
              "--seed", str(args.seed + i), "--duration", str(args.duration),
              "--beamformer", args.beamformer, "--data-root", args.data_root]
             + (["--no-reverb"] if args.no_reverb else [])
+            + ["--interferer-kind", args.interferer_kind]
             + (["--max-order", str(args.max_order)] if args.max_order is not None else [])
             + (["--ckpt", args.ckpt] if args.ckpt else [])
             + (["--int8"] if args.int8 else [])

@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("mode", choices=["sim", "inf", "eval", "full"])
     p.add_argument("--name", default="test_run", help="Run ID")
     p.add_argument("--interferers", type=int, default=1)
+    p.add_argument("--interferer-kind", default="speech",
+                   choices=["speech", "babble", "music", "noise"],
+                   help="interference class (reference --dataset musan axis)")
     p.add_argument("--no-reverb", action="store_true")
     p.add_argument("--snr", type=float, default=50.0)
     p.add_argument("--duration", type=float, default=4.0)
@@ -43,8 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
              "learned mask (--ckpt or bundled artifact; rmvb = robust "
              "Capon, tolerant of approximate look directions)",
     )
-    p.add_argument("--fov", type=float, default=10.0,
-                   help="field-of-view width (deg) for maxsnr_fov")
+    p.add_argument("--fov", type=float, default=None,
+                   help="field-of-view width (deg); default 10 for "
+                        "maxsnr_fov, 60 for autosteer")
+    p.add_argument("--autosteer", action="store_true",
+                   help="with mvdr/hard_null/rmvb: refine the look "
+                        "direction with the blind DOA histogram inside "
+                        "the camera FOV (--angle +/- --fov/2) before "
+                        "steering the mask net — the fully blind "
+                        "camera-driven product path")
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir (trained model)")
     p.add_argument("--int8", action="store_true",
                    help="serve the mask net on the int8-MXU path (QConv; "
@@ -98,6 +108,7 @@ def do_sim(args, paths: PathsConfig) -> Path:
         n_interferers=args.interferers,
         snr_db=args.snr,
         duration_s=args.duration,
+        interferer_kind=args.interferer_kind,
     )
     print(f"[SIM] Generating scene '{args.name}' ({spec})...")
     sc = generate_scene(
@@ -111,7 +122,8 @@ def do_sim(args, paths: PathsConfig) -> Path:
     # Per-run provenance record (world.py:265-268 info.txt behavior).
     (outdir / "info.txt").write_text(
         f"run: {args.name}\nreverb: {spec.reverb}\n"
-        f"n_interferers: {spec.n_interferers}\nsnr_db: {spec.snr_db}\n"
+        f"n_interferers: {spec.n_interferers}\n"
+        f"interferer_kind: {spec.interferer_kind}\nsnr_db: {spec.snr_db}\n"
         f"duration_s: {spec.duration_s}\nfs: {spec.fs}\nseed: {args.seed}\n"
     )
     print(f"[SIM] Files saved to: {outdir}")
@@ -231,7 +243,8 @@ def do_inf(args, paths: PathsConfig) -> Path:
         from azoom.pipelines.autosteer import autosteer_enhance
 
         out, theta = autosteer_enhance(
-            mixture, cfg, fov_center_deg=args.angle, fov_width_deg=args.fov
+            mixture, cfg, fov_center_deg=args.angle,
+            fov_width_deg=args.fov if args.fov is not None else 60.0,
         )
         print(f"[INF] autosteer locked onto {float(theta):.1f} deg")
     elif args.beamformer == "online":
@@ -255,18 +268,32 @@ def do_inf(args, paths: PathsConfig) -> Path:
         expected_ipd = -2.0 * jnp.pi * freqs * (tau[0] - tau[1])
         noise_mask = ipd_deviation_noise_mask(Y, expected_ipd)
         S = max_snr_fov_beamform(
-            Y, noise_mask, freqs, cfg.angle_target_deg, args.fov,
+            Y, noise_mask, freqs, cfg.angle_target_deg,
+            args.fov if args.fov is not None else 10.0,
             cfg.mic_dist, cfg.c, cfg.sigma,
         )
         out = istft(S, cfg.n_fft, cfg.hop, length=mixture.shape[-1])
     else:
-        from azoom.pipelines.learned import learned_enhance_streaming
-
         model, variables = _load_model_variables(args, cfg)
-        out = learned_enhance_streaming(
-            mixture, model, variables, cfg,
-            beamformer=args.beamformer, feature_kind=model_features(args),
-        )
+        if args.autosteer:
+            from azoom.pipelines.autosteer import autosteer_enhance
+
+            out, theta = autosteer_enhance(
+                mixture, cfg, fov_center_deg=args.angle,
+                fov_width_deg=args.fov if args.fov is not None else 60.0,
+                model=model, variables=variables,
+                feature_kind=model_features(args),
+                beamformer=args.beamformer,
+            )
+            print(f"[INF] autosteer locked onto {float(theta):.1f} deg "
+                  f"(learned mask steered blind)")
+        else:
+            from azoom.pipelines.learned import learned_enhance_streaming
+
+            out = learned_enhance_streaming(
+                mixture, model, variables, cfg,
+                beamformer=args.beamformer, feature_kind=model_features(args),
+            )
 
     if timer is not None:
         # Re-run the (now compiled) pipeline under per-stage timing plus an

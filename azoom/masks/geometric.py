@@ -59,7 +59,7 @@ def fov_noise_gate(
     fs: int,
     c: float = 343.0,
     softness_deg: float = 10.0,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Visual-guided covariance gate (reference roadmap TODO:12).
 
     The camera's zoom region defines what counts as "target": per-bin DOA

@@ -49,7 +49,15 @@ class _FreqUp(nn.Module):
 
 class CRNMaskNet(nn.Module):
     """(B, F, T, C) -> (B, F, T) mask. F must satisfy F % 8 in {0, 1}
-    (513 works: odd sizes are padded/cropped around the conv stack)."""
+    (513 works: odd sizes are padded/cropped around the conv stack).
+
+    Streaming: every conv has time-kernel 1, so the ONLY time state is the
+    LSTM carries. Pass ``carries`` (from :meth:`initial_carries`) and
+    ``return_carries=True`` to process a block of frames (e.g. T=1, one
+    hop) and get the carry forward — exact hop-granularity streaming with
+    no approximation (used by azoom.stream.lowlat). Requires
+    ``unidirectional=True``.
+    """
 
     base: int = 16
     hidden: int = 128
@@ -57,8 +65,19 @@ class CRNMaskNet(nn.Module):
     unidirectional: bool = True
     dtype: jnp.dtype = jnp.float32
 
+    def initial_carries(self, batch: int = 1):
+        """Zero LSTM carries ((c, h) per layer) for a fresh stream."""
+        z = lambda: (
+            jnp.zeros((batch, self.hidden), self.dtype),
+            jnp.zeros((batch, self.hidden), self.dtype),
+        )
+        return tuple(z() for _ in range(self.n_lstm))
+
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, carries=None,
+                 return_carries: bool = False):
+        if carries is not None and not self.unidirectional:
+            raise ValueError("streaming carries require unidirectional=True")
         B, F, T, C = x.shape
         d = self.dtype
         pad_f = (-F) % 8
@@ -71,9 +90,16 @@ class CRNMaskNet(nn.Module):
         Bf, Fr, Tr, Cr = e3.shape
         seq = jnp.transpose(e3, (0, 2, 1, 3)).reshape(Bf, Tr, Fr * Cr)
         seq = nn.Dense(self.hidden, dtype=d)(seq)
+        out_carries = []
         for i in range(self.n_lstm):
-            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=d),
-                         name=f"lstm_fwd_{i}")(seq)
+            rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=d),
+                         name=f"lstm_fwd_{i}")
+            if carries is not None:
+                carry, fwd = rnn(seq, initial_carry=carries[i],
+                                 return_carry=True)
+                out_carries.append(carry)
+            else:
+                fwd = rnn(seq)
             if self.unidirectional:
                 seq = fwd
             else:
@@ -92,4 +118,7 @@ class CRNMaskNet(nn.Module):
             jnp.concatenate([u2, e1], -1), train)    # F
 
         out = nn.Conv(1, (1, 1), dtype=jnp.float32)(u1.astype(jnp.float32))
-        return nn.sigmoid(out[:, :F, :, 0])
+        mask = nn.sigmoid(out[:, :F, :, 0])
+        if return_carries:
+            return mask, tuple(out_carries)
+        return mask

@@ -41,7 +41,7 @@ from azoom.eval.stoi import stoi
 from azoom.pipelines.oracle import oracle_enhance
 from azoom.sim.farfield import make_scene
 from azoom.sim.scene import simulate_room_scene
-from azoom.sim.signals import speech_like
+from azoom.sim.signals import interferer_signal, speech_like
 
 __all__ = ["oracle_sweep", "learned_sweep", "sweep_summary", "sharded_sweep"]
 
@@ -51,12 +51,27 @@ __all__ = ["oracle_sweep", "learned_sweep", "sweep_summary", "sharded_sweep"]
 _FIXED_ANGLES = (40.0, 130.0, 20.0, 160.0, 60.0, 120.0)
 
 
-def _synth_sources(key: jax.Array, n_sources: int, n_samples: int, fs: int):
-    """(n_sources, n) speech-like utterances with random fundamentals."""
+def _synth_sources(
+    key: jax.Array,
+    n_sources: int,
+    n_samples: int,
+    fs: int,
+    interferer_kind: str = "speech",
+):
+    """(n_sources, n) sources: a speech-like target plus interferers of
+    the requested class (the reference's --dataset musan axis,
+    world.py:38-67 — 'speech' | 'babble' | 'music' | 'noise')."""
     kf, ks = jax.random.split(key)
     f0s = jax.random.uniform(kf, (n_sources,), minval=100.0, maxval=280.0)
     keys = jax.random.split(ks, n_sources)
-    return jax.vmap(lambda k, f0: speech_like(k, n_samples, fs, f0))(keys, f0s)
+    if interferer_kind == "speech":
+        return jax.vmap(lambda k, f0: speech_like(k, n_samples, fs, f0))(keys, f0s)
+    target = speech_like(keys[0], n_samples, fs, f0s[0])
+    interf = [
+        interferer_signal(keys[i], n_samples, fs, interferer_kind, f0s[i])
+        for i in range(1, n_sources)
+    ]
+    return jnp.stack([target] + interf)
 
 
 def _random_interferer_angles(key: jax.Array, n: int, target_deg: float):
@@ -81,10 +96,13 @@ def _scene_from_key(
     reverb: bool,
     randomize: bool,
     room: RoomConfig,
+    interferer_kind: str = "speech",
 ) -> dict:
     """One scene (mixture + answer-key stems) from one PRNG key."""
     k_sig, k_geo = jax.random.split(k)
-    sigs = _synth_sources(k_sig, n_interferers + 1, n_samples, cfg.fs)
+    sigs = _synth_sources(
+        k_sig, n_interferers + 1, n_samples, cfg.fs, interferer_kind
+    )
     if reverb:
         # Room mode randomizes interferer placement internally for the
         # 2nd+ interferer (simulation.py:126-134 semantics).
@@ -130,7 +148,7 @@ def _score(out: jnp.ndarray, sc: dict, cfg: PipelineConfig, with_stoi: bool) -> 
     jax.jit,
     static_argnames=(
         "cfg", "n_scenes", "n_samples", "with_stoi", "n_interferers",
-        "reverb", "randomize", "room", "with_waveforms",
+        "reverb", "randomize", "room", "with_waveforms", "interferer_kind",
     ),
 )
 def oracle_sweep(
@@ -144,6 +162,7 @@ def oracle_sweep(
     randomize: bool = False,
     room: RoomConfig = ROOM_DEFAULT,
     with_waveforms: bool = False,
+    interferer_kind: str = "speech",
 ) -> dict:
     """Generate + enhance + score n_scenes oracle runs in one program.
 
@@ -157,7 +176,8 @@ def oracle_sweep(
 
     def one(k):
         sc = _scene_from_key(
-            k, cfg, n_samples, n_interferers, reverb, randomize, room
+            k, cfg, n_samples, n_interferers, reverb, randomize, room,
+            interferer_kind,
         )
         out = oracle_enhance(
             sc["mixture"], sc["target_ref"], sc["interference_ref"], cfg
@@ -176,7 +196,7 @@ def oracle_sweep(
     static_argnames=(
         "cfg", "model", "n_scenes", "n_samples", "with_stoi", "n_interferers",
         "reverb", "randomize", "room", "beamformer", "feature_kind",
-        "with_waveforms", "steer_error_deg",
+        "with_waveforms", "steer_error_deg", "interferer_kind",
     ),
 )
 def learned_sweep(
@@ -195,6 +215,7 @@ def learned_sweep(
     feature_kind: str = "logmag_ipd",
     with_waveforms: bool = False,
     steer_error_deg: float = 0.0,
+    interferer_kind: str = "speech",
 ) -> dict:
     """Blind learned-mask campaign sweep: synth scenes (reverb by default,
     mirroring batch_run.py:23-29's RT60=0.5 / 2-interferer config), enhance
@@ -216,7 +237,8 @@ def learned_sweep(
 
     def one(k):
         sc = _scene_from_key(
-            k, cfg, n_samples, n_interferers, reverb, randomize, room
+            k, cfg, n_samples, n_interferers, reverb, randomize, room,
+            interferer_kind,
         )
         out = learned_enhance(
             sc["mixture"], model, variables, enh_cfg,

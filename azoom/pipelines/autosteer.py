@@ -1,17 +1,22 @@
-"""Blind auto-steered zoom: SRP localization -> steered masked MVDR.
+"""Blind auto-steered zoom: SRP localization -> steered enhancement.
 
 The BASELINE.json configuration "SRP-PHAT localization steering vector from
 visual zoom region + MVDR": instead of assuming a broadside target, the
 pipeline localizes the strongest source inside a field-of-view window (the
-"visual zoom region"), steers the beam there, and enhances blind with the
-IPD-deviation mask around the estimated bearing. No ground truth, no model.
+"visual zoom region"), steers the beam there, and enhances blind. With no
+model the mask is the IPD-deviation heuristic around the estimated bearing;
+with a mask net, the DOA estimate steers the full learned pipeline
+(azoom.pipelines.learned) — the camera-driven product path
+(scripts/debug_srp.py:44-77 localization + Final_pipeline inference,
+composed in one XLA graph).
 
-One jitted program: SRP scan, argmax-in-FOV, steering, masking, MVDR.
+One jitted program: DOA scan, argmax-in-FOV, steering, masking, beamform.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +31,11 @@ from azoom.masks.geometric import ipd_deviation_noise_mask
 __all__ = ["autosteer_enhance"]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "length"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "length", "model", "feature_kind", "beamformer",
+                     "use_pallas", "fov_gate"),
+)
 def autosteer_enhance(
     mixture: jnp.ndarray,
     cfg: PipelineConfig,
@@ -34,13 +43,27 @@ def autosteer_enhance(
     fov_width_deg: float = 60.0,
     mask_width: float = 0.5,
     length: int | None = None,
+    model=None,
+    variables: Any = None,
+    feature_kind: str = "logmag_ipd",
+    beamformer: str = "mvdr",
+    use_pallas: bool = False,
+    fov_gate: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Enhance toward the dominant source inside the zoom FOV.
 
     Args:
       mixture: (M, n) stereo time signal.
-      fov_center_deg / fov_width_deg: the visual zoom window; SRP peaks
+      fov_center_deg / fov_width_deg: the visual zoom window; DOA peaks
         outside it are ignored (interferers you are NOT pointing at).
+      model / variables: optional mask net — when given, the estimated
+        bearing steers the learned pipeline instead of the IPD heuristic
+        (the blind product path: no ground truth, no exact angle, the
+        net provides the mask and the DOA histogram provides the
+        steering). ``feature_kind``/``beamformer``/``use_pallas`` pass
+        through to :func:`azoom.pipelines.learned.learned_enhance`.
+      fov_gate: additionally gate the noise covariance by the camera FOV
+        (visual-guided covariance gating) in the learned path.
 
     Returns:
       (enhanced (n,), estimated_angle_deg scalar).
@@ -57,6 +80,18 @@ def autosteer_enhance(
     in_fov = jnp.abs(angles - fov_center_deg) <= fov_width_deg / 2.0
     hist = jnp.where(in_fov, hist, -jnp.inf)
     theta = angles[jnp.argmax(hist)]
+
+    if model is not None:
+        from azoom.pipelines.learned import learned_enhance
+
+        out = learned_enhance(
+            mixture, model, variables, cfg,
+            beamformer=beamformer, feature_kind=feature_kind,
+            length=length, use_pallas=use_pallas,
+            steer_deg=theta,
+            fov_deg=fov_width_deg if fov_gate else None,
+        )
+        return out, theta
 
     d = steering_vector(freqs, theta, cfg.mic_dist, cfg.c, cfg.n_mics)
     # Expected IPD at the estimated bearing: phase difference of the two

@@ -70,7 +70,7 @@ def predict_mask(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "cfg", "beamformer", "feature_kind", "length",
-                     "use_pallas", "fov_deg"),
+                     "use_pallas"),
 )
 def learned_enhance(
     mixture: jnp.ndarray,
@@ -82,7 +82,8 @@ def learned_enhance(
     mask_floor: float = 0.05,
     length: int | None = None,
     use_pallas: bool = False,
-    fov_deg: float | None = None,
+    fov_deg: float | jnp.ndarray | None = None,
+    steer_deg: float | jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Whole-signal learned enhancement: (..., M, n) -> (..., n).
 
@@ -98,10 +99,14 @@ def learned_enhance(
     ``fov_deg`` enables visual-guided covariance gating (roadmap TODO:12):
     TF bins whose spatial cue is confidently outside the camera's field of
     view are added to the noise covariance even when the mask net misses
-    them.
+    them. ``fov_deg`` and ``steer_deg`` are traced (not static), so a
+    continuously-changing camera zoom/direction reuses one compiled
+    program; ``steer_deg`` overrides ``cfg.angle_target_deg`` as the look
+    direction (e.g. a DOA estimate from azoom.pipelines.autosteer).
     """
     n = mixture.shape[-1]
     length = n if length is None else length
+    steer = cfg.angle_target_deg if steer_deg is None else steer_deg
 
     Y = stft(mixture, cfg.n_fft, cfg.hop)
     tgt_mask = predict_mask(model, variables, Y, feature_kind)
@@ -110,13 +115,13 @@ def learned_enhance(
         from azoom.masks.geometric import apply_fov_gate, fov_noise_gate
 
         gate, protect, valid = fov_noise_gate(
-            Y, cfg.angle_target_deg, fov_deg, cfg.mic_dist, cfg.fs, cfg.c
+            Y, steer, fov_deg, cfg.mic_dist, cfg.fs, cfg.c
         )
         noise_mask = apply_fov_gate(noise_mask, gate, protect, valid)
     freqs = rfft_freqs(cfg.n_fft, cfg.fs)
 
     if beamformer == "mvdr":
-        d = steering_vector(freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
+        d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics)
         mvdr_fn = masked_mvdr
         if use_pallas:
             from azoom.pallas.mvdr_kernel import masked_mvdr_pallas as mvdr_fn
@@ -133,14 +138,14 @@ def learned_enhance(
     elif beamformer == "rmvb":
         from azoom.beam.rmvb import rmvb_beamform
 
-        d = steering_vector(freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
+        d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics)
         S = rmvb_beamform(
             Y, noise_mask, d, freqs,
             sigma=cfg.sigma, hp_cutoff_hz=cfg.hp_cutoff_hz,
         ) * jnp.maximum(tgt_mask, mask_floor)
     elif beamformer == "hard_null":
         d = steering_vector(
-            freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics,
+            freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics,
             normalize_phase=True,
         )
         null_fn = hybrid_hard_null_beamform

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from azoom.config import RoomConfig
 from azoom.sim.room import fft_convolve, inverse_sabine, rir_matrix
-from azoom.sim.signals import speech_like
+from azoom.sim.signals import interferer_signal, speech_like
 
 __all__ = ["add_awgn", "apply_sir_gain", "simulate_room_scene", "generate_scene"]
 
@@ -134,13 +134,19 @@ def simulate_room_scene(
 
 @dataclasses.dataclass(frozen=True)
 class SceneSpec:
-    """Static knobs of generate_scene (mirrors the reference CLI surface)."""
+    """Static knobs of generate_scene (mirrors the reference CLI surface).
+
+    ``interferer_kind`` is the reference's ``--dataset`` corpus switch
+    (world.py:38-67: ljspeech/librispeech vs musan music/noise) mapped to
+    the synthetic signal classes: 'speech' | 'babble' | 'music' | 'noise'.
+    """
 
     reverb: bool = True
     n_interferers: int = 1
     snr_db: float = 50.0
     duration_s: float = 4.0
     fs: int = 16_000
+    interferer_kind: str = "speech"
 
 
 def generate_scene(
@@ -159,9 +165,13 @@ def generate_scene(
         keys = jax.random.split(k_sig, spec.n_interferers + 1)
         f0s = jnp.asarray([150.0, 220.0, 120.0, 260.0, 180.0])
         source_signals = jnp.stack(
-            [
-                speech_like(keys[i], n, spec.fs, float(f0s[i % 5]))
-                for i in range(spec.n_interferers + 1)
+            [speech_like(keys[0], n, spec.fs, float(f0s[0]))]
+            + [
+                interferer_signal(
+                    keys[i], n, spec.fs, spec.interferer_kind,
+                    float(f0s[i % 5]),
+                )
+                for i in range(1, spec.n_interferers + 1)
             ]
         )
     return simulate_room_scene(

@@ -23,7 +23,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["speech_like", "speech_like_batch"]
+__all__ = [
+    "speech_like",
+    "speech_like_batch",
+    "colored_noise",
+    "music_like",
+    "babble_like",
+    "interferer_signal",
+    "INTERFERER_KINDS",
+]
 
 
 @functools.partial(jax.jit, static_argnames=("n_samples", "fs"))
@@ -103,3 +111,138 @@ def speech_like_batch(
     f0s = 110.0 * (1.35 ** jnp.arange(n_signals, dtype=jnp.float32))
     f0s = jnp.clip(f0s, 90.0, 320.0)
     return jax.vmap(lambda k, f0: speech_like(k, n_samples, fs, f0))(keys, f0s)
+
+
+# -- Non-speech interferers (the reference's MUSAN axis) ---------------------
+#
+# The reference's world generator takes ``--dataset musan`` and draws
+# interferers from MUSAN's music/noise corpora (rt_av_zoom/core/
+# world.py:38-67). With zero egress these synthesize the same three
+# interference *classes* — steady noise textures, harmonic music, and
+# multi-talker babble — so the robustness axis exists without the download.
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "fs"))
+def colored_noise(
+    key: jax.Array,
+    n_samples: int,
+    fs: int = 16_000,
+    slope: float | jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Steady 1/f^slope noise texture (fan/traffic/crowd-floor class).
+
+    ``slope``: spectral exponent; 0 = white, 1 = pink, 2 = brown. Defaults
+    to a random draw in [0.5, 1.8] (most environmental noise sits there).
+    """
+    k_slope, k_noise = jax.random.split(key)
+    if slope is None:
+        slope = 0.5 + 1.3 * jax.random.uniform(k_slope)
+    white = jax.random.normal(k_noise, (n_samples,))
+    X = jnp.fft.rfft(white)
+    f = jnp.fft.rfftfreq(n_samples, 1.0 / fs)
+    shape = jnp.where(f > 0, jnp.maximum(f, 1e-3) ** (-0.5 * slope), 0.0)
+    # Keep a 50 Hz high-pass knee so "brown" doesn't become pure DC rumble.
+    shape = shape * (1.0 - jnp.exp(-(f / 50.0) ** 2))
+    x = jnp.fft.irfft(X * shape, n=n_samples)
+    return (x / (jnp.max(jnp.abs(x)) + 1e-9)).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "fs"))
+def music_like(
+    key: jax.Array,
+    n_samples: int,
+    fs: int = 16_000,
+    base_hz: float = 220.0,
+) -> jnp.ndarray:
+    """Harmonic "music" texture: two voices stepping through a pentatonic
+    scale with note-rate envelopes and vibrato.
+
+    Unlike speech, the pitch is piecewise-stable (notes, not glides), the
+    harmonic stack is richer and not formant-shaped, and the amplitude
+    envelope follows the note grid rather than syllables — the spectro-
+    temporal statistics that make music a distinct interference class.
+    """
+    k_notes, k_det, k_env, k_vib = jax.random.split(key, 4)
+    t = jnp.arange(n_samples, dtype=jnp.float32) / fs
+    dur = n_samples / fs
+    n_notes = max(int(dur * 3), 2)  # ~3 notes/second
+
+    # Pentatonic scale steps (semitones) chosen by a bounded random walk.
+    penta = jnp.asarray([0.0, 2.0, 4.0, 7.0, 9.0, 12.0])
+    steps = jax.random.randint(k_notes, (n_notes,), 0, 6)
+    semis = penta[steps]
+    note_f0 = base_hz * 2.0 ** (semis / 12.0)  # (N,)
+
+    # Sample-rate note index (piecewise constant pitch).
+    pos = jnp.clip(
+        (t / dur * n_notes).astype(jnp.int32), 0, n_notes - 1
+    )
+    f0_t = note_f0[pos]
+    vib = 1.0 + 0.004 * jnp.sin(
+        2 * jnp.pi * 5.5 * t + 2 * jnp.pi * jax.random.uniform(k_vib)
+    )
+    phase = 2.0 * jnp.pi * jnp.cumsum(f0_t * vib) / fs
+
+    # Note envelope: attack/decay within each note slot.
+    frac = (t / dur * n_notes) - pos
+    env = jnp.minimum(frac / 0.08, 1.0) * jnp.exp(-2.2 * frac)
+
+    harmonics = jnp.arange(1, 9, dtype=jnp.float32)
+    amp_h = 1.0 / harmonics**1.5
+    voice1 = jnp.sum(
+        amp_h[:, None] * jnp.sin(harmonics[:, None] * phase[None, :]), axis=0
+    )
+    # Second voice a fifth above, detuned a few cents, its own level.
+    det = 1.5 * (1.0 + 0.002 * (jax.random.uniform(k_det) - 0.5))
+    voice2 = jnp.sum(
+        amp_h[:, None] * jnp.sin(harmonics[:, None] * det * phase[None, :]),
+        axis=0,
+    )
+    bal = 0.4 + 0.3 * jax.random.uniform(k_env)
+    x = env * (voice1 + bal * voice2)
+    return (x / (jnp.max(jnp.abs(x)) + 1e-9)).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "fs", "n_talkers"))
+def babble_like(
+    key: jax.Array,
+    n_samples: int,
+    fs: int = 16_000,
+    n_talkers: int = 6,
+) -> jnp.ndarray:
+    """Multi-talker babble: the sum of ``n_talkers`` independent
+    speech-like streams — spectrally speech but with the TF sparsity
+    filled in (few gaps for a mask to exploit), the classic hard
+    interference for mask-based enhancement."""
+    kf, ks = jax.random.split(key)
+    f0s = jax.random.uniform(kf, (n_talkers,), minval=95.0, maxval=300.0)
+    keys = jax.random.split(ks, n_talkers)
+    x = jnp.sum(
+        jax.vmap(lambda k, f0: speech_like(k, n_samples, fs, f0))(keys, f0s),
+        axis=0,
+    )
+    return (x / (jnp.max(jnp.abs(x)) + 1e-9)).astype(jnp.float32)
+
+
+INTERFERER_KINDS = ("speech", "babble", "music", "noise")
+
+
+def interferer_signal(
+    key: jax.Array,
+    n_samples: int,
+    fs: int = 16_000,
+    kind: str = "speech",
+    f0: float | jnp.ndarray = 160.0,
+) -> jnp.ndarray:
+    """One interferer of the requested class (``kind`` is static — each
+    class is its own compiled program, like the reference's --dataset
+    switch selects a corpus)."""
+    if kind == "speech":
+        return speech_like(key, n_samples, fs, f0)
+    if kind == "babble":
+        return babble_like(key, n_samples, fs)
+    if kind == "music":
+        return music_like(key, n_samples, fs)
+    if kind == "noise":
+        return colored_noise(key, n_samples, fs)
+    raise ValueError(f"unknown interferer kind {kind!r}; have {INTERFERER_KINDS}")

@@ -5,12 +5,17 @@ UI driving an acoustic beam): set the *zoom state* (look direction, field
 of view, zoom level), then feed audio — whole clips or a live sample
 stream. Internally: zoom level -> diagonal loading (beam.zoom), FOV ->
 localization gate (localize.srp), direction -> steering; enhancement is
-the blind autosteer pipeline by default or a supplied mask model.
+the blind autosteer pipeline (optionally composed with a bundled mask
+net — the camera FOV picks the zoom region, the audio DOA histogram
+refines the steering inside it, the net provides the mask).
 
-Streaming uses Hann-weighted 50 % overlap-add with persistent state, so
-``push()`` can be called with arbitrary-sized sample blocks from an audio
-callback; output emerges one hop behind the input (plus the 2 s window of
-algorithmic latency — use pipelines.online_learned for the 32 ms path).
+Two latency modes:
+
+  * ``latency="high"`` (default): 2 s windows with Hann-weighted 50 %
+    overlap-add — the reference's execution model, maximum quality;
+    ``push()`` output emerges ~1 s behind the input.
+  * ``latency="low"``: hop-granularity causal streaming (CRN mask net +
+    recursive MVDR, azoom.stream.lowlat) — 32-64 ms algorithmic latency.
 """
 
 from __future__ import annotations
@@ -42,11 +47,20 @@ class AudioZoom:
       enhance_fn: optional override (M, win) -> (win,); defaults to the
         blind autosteer pipeline under the current zoom state.
       model: optional bundled mask-net name ('fpu', 'fpu_reverb',
-        'fpu_multigeo', 'deepfpu', 'tpufpu') — routes enhancement through
-        the learned pipeline instead of autosteer. 'tpufpu' is the
-        MXU-shaped serving flagship (fastest at the trained 4 cm
-        geometry); use 'fpu_multigeo' for arrays whose spacing differs
-        from that default.
+        'fpu_multigeo', 'deepfpu', 'tpufpu', 'crn_causal') — routes
+        enhancement through the learned pipeline. 'tpufpu' is the
+        MXU-shaped serving flagship; use 'fpu_multigeo' for arrays whose
+        spacing differs from the 4 cm default.
+      int8: serve the mask net on the int8-MXU path (calibrated static
+        activation scales — the benchmarked flagship configuration;
+        within ~0.2 dB blind SIR of float, 1.5x the throughput).
+      autosteer: when a model is set, refine the look direction with the
+        blind DOA histogram inside the camera FOV before steering the net
+        (the full camera -> DOA -> learned-mask product path). False
+        steers exactly at ``direction_deg``.
+      latency: 'high' (2 s windows, best quality) or 'low' (hop-level
+        causal streaming, 32-64 ms; requires a causal model — defaults to
+        'crn_causal' when none is given).
       native: allow the C++ stream runtime for push() buffering (built
         on first use if a toolchain is present — a one-time ~2 s `make`;
         set False to pin the pure-NumPy path).
@@ -58,14 +72,28 @@ class AudioZoom:
     zoom: float = 0.5
     enhance_fn: Callable | None = None
     model: str | None = None
+    int8: bool = False
+    autosteer: bool = True
+    latency: str = "high"
     native: bool = True
 
     def __post_init__(self):
+        if self.latency not in ("high", "low"):
+            raise ValueError(f"latency must be 'high' or 'low', got {self.latency!r}")
+        if self.latency == "low" and self.model is None:
+            self.model = "crn_causal"
         self._mask_net = None
         if self.model is not None:
             from azoom.models.pretrained import load_bundled
 
-            self._mask_net = load_bundled(self.model)
+            self._mask_net = load_bundled(self.model, quant=self.int8)
+        if self.latency == "low":
+            net = self._mask_net[0]
+            if not hasattr(net, "initial_carries"):
+                raise ValueError(
+                    f"latency='low' needs a causal streaming model "
+                    f"(e.g. 'crn_causal'); {self.model!r} cannot stream"
+                )
         self._reset_stream()
 
     # -- zoom state ---------------------------------------------------------
@@ -73,6 +101,8 @@ class AudioZoom:
     def set_zoom(self, direction_deg=None, fov_deg=None, zoom=None) -> None:
         if direction_deg is not None:
             self.direction_deg = float(direction_deg)
+            if getattr(self, "_online", None) is not None:
+                self._online.set_direction(self.direction_deg)
         if fov_deg is not None:
             self.fov_deg = float(fov_deg)
         if zoom is not None:
@@ -82,19 +112,36 @@ class AudioZoom:
     def sigma(self) -> float:
         return float(zoom_to_sigma(self.zoom))
 
-    def _enhance_window(self, window: jnp.ndarray) -> jnp.ndarray:
-        cfg = self.cfg.replace(
+    def _zoom_cfg(self) -> PipelineConfig:
+        return self.cfg.replace(
             sigma=self.sigma, angle_target_deg=self.direction_deg
         )
+
+    def _enhance_window(self, window: jnp.ndarray) -> jnp.ndarray:
+        cfg = self._zoom_cfg()
         if self.enhance_fn is not None:
             return self.enhance_fn(window)
         if self._mask_net is not None:
+            net, variables, feats = self._mask_net
+            if self.autosteer and not hasattr(net, "initial_carries"):
+                # Camera FOV -> DOA-refined steering -> learned mask: the
+                # blind product path (VERDICT: autosteer + learned composed).
+                out, _ = autosteer_enhance(
+                    window, cfg,
+                    fov_center_deg=self.direction_deg,
+                    fov_width_deg=self.fov_deg,
+                    model=net, variables=variables, feature_kind=feats,
+                    fov_gate=True,
+                )
+                return out
+            if hasattr(net, "initial_carries"):
+                from azoom.pipelines.online_learned import online_learned_enhance
+
+                return online_learned_enhance(window, net, variables, cfg)
             from azoom.pipelines.learned import learned_enhance
 
-            net, variables, feats = self._mask_net
-            # The camera FOV gates the noise covariance (visual-guided
-            # covariance gating): spatial cues outside the zoom region are
-            # interference even when the mask net misses them.
+            # Exact-steering variant; the camera FOV still gates the noise
+            # covariance (visual-guided covariance gating).
             return learned_enhance(
                 window, net, variables, cfg, feature_kind=feats,
                 fov_deg=float(self.fov_deg),
@@ -114,6 +161,15 @@ class AudioZoom:
     # -- live streaming -----------------------------------------------------
 
     def _reset_stream(self):
+        self._online = None
+        if self.latency == "low":
+            from azoom.stream.lowlat import OnlineEnhancer
+
+            net, variables, _ = self._mask_net
+            self._online = OnlineEnhancer(
+                self._zoom_cfg(), net, variables, steer_deg=self.direction_deg
+            )
+            return
         self._win = self.cfg.win_size
         self._hop = self._win // 2
         # Buffering/OLA runs in the native C++ engine when the toolchain
@@ -142,6 +198,9 @@ class AudioZoom:
 
     def reset(self) -> None:
         """Drop all stream state (e.g. on seek or device change)."""
+        if getattr(self, "_online", None) is not None:
+            self._online.reset()
+            return
         if getattr(self, "_native", None) is not None:
             self._native.reset()
             self._inbuf = np.zeros((self.cfg.n_mics, 0), np.float32)
@@ -156,8 +215,11 @@ class AudioZoom:
         (multiple of hop samples, possibly empty). Transactional under
         enhancement failure: if the enhancer raises, no audio is lost —
         already-finalized hops are returned by the next push, and the
-        failed window is re-processed."""
+        failed window is re-processed. In ``latency='low'`` mode the hop
+        is one STFT hop (32 ms), not one second."""
         samples = np.asarray(samples, np.float32)
+        if self._online is not None:
+            return self._online.push(samples)
         out = self._out_pending
         if self._native is not None:
             self._native.push(samples)

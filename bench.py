@@ -54,9 +54,11 @@ def main():
     probe = synth_batch(jax.random.PRNGKey(0), 1, cfg, "physics", cfg.win_size)
     state = create_state(model, jax.random.PRNGKey(0), probe["features"].shape)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    # Static activation scales (max-abs over a few representative batches):
-    # removes the per-conv full-tensor reduction from the serving hot path
-    # (QConv docstring; 1.17x per conv measured).
+    # Static activation scales (99.9th-percentile of |x| over a few
+    # representative batches — NOT max-abs, which codes heavy post-ReLU
+    # tails at full range and costs ~6 dB SIR): removes the per-conv
+    # full-tensor reduction from the serving hot path (QConv docstring;
+    # 1.17x per conv measured).
     from azoom.models.quantize import calibrate_act_scales
 
     variables = calibrate_act_scales(

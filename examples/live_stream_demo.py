@@ -30,10 +30,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="fpu_multigeo",
                    choices=["autosteer", "fpu", "fpu_multigeo", "fpu_reverb",
-                            "deepfpu", "tpufpu"])
+                            "deepfpu", "tpufpu", "crn_causal"])
     p.add_argument("--blocksize", type=int, default=1_600,
                    help="producer block size in samples (100 ms @ 16 kHz)")
     p.add_argument("--seconds", type=float, default=8.0)
+    p.add_argument("--latency", default="high", choices=["high", "low"],
+                   help="low = hop-granularity causal streaming "
+                        "(32-64 ms algorithmic latency, CRN mask net)")
     args = p.parse_args()
 
     cfg = PipelineConfig(mic_dist=0.04)
@@ -47,10 +50,14 @@ def main():
     )
     mixture = np.asarray(scene["mixture"])
 
+    model = None if args.model == "autosteer" else args.model
+    if args.latency == "low" and model != "crn_causal":
+        print("[demo] --latency low needs the causal mask net; using crn_causal")
+        model = "crn_causal"
     zoom = AudioZoom(
-        cfg=cfg,
-        model=None if args.model == "autosteer" else args.model,
+        cfg=cfg, model=model,
         direction_deg=90.0, fov_deg=60.0, zoom=0.7,
+        latency=args.latency,
     )
 
     out = []
@@ -63,8 +70,10 @@ def main():
     enhanced = np.concatenate(out)
 
     m = min(len(enhanced), n)
-    # Stream output lags by one hop; align before scoring.
-    hop = cfg.win_size // 2
+    # High-latency stream output starts at input sample win/2 (the first
+    # window's head is never emitted); the low-latency stream finalizes
+    # from sample 0. Align before scoring.
+    hop = 0 if args.latency == "low" else cfg.win_size // 2
     ref_t = np.asarray(scene["target_ref"])[hop : hop + m]
     ref_i = np.asarray(scene["interference_ref"])[hop : hop + m]
     _, sir = osinr_osir(jnp.asarray(enhanced[:m][: len(ref_t)]),
