@@ -51,6 +51,12 @@ def build_parser():
                         "— models camera pointing error; scenes keep the "
                         "true target angle")
     p.add_argument("--duration", type=float, default=2.0)
+    p.add_argument("--mic-dist", type=float, default=0.04,
+                   help="mic spacing in meters for vectorized sweeps; "
+                        "bundled nets geometry-adapt automatically when "
+                        "the array is smaller than their 4 cm training "
+                        "spacing (--no-geo-adapt disables)")
+    p.add_argument("--no-geo-adapt", action="store_true")
     p.add_argument("--max-order", type=int, default=None,
                    help="image-source order for per-run simulation")
     p.add_argument("--chunk-scenes", type=int, default=64,
@@ -64,7 +70,9 @@ def build_parser():
 
 
 def _load_sweep_model(args, cfg):
-    """(model, variables, feature_kind) for the vectorized learned sweep.
+    """(model, variables, feature_kind, geo_dist) for the vectorized
+    learned sweep; geo_dist is the geometry-adaptation ``train_mic_dist``
+    (bundled artifacts on arrays smaller than their training spacing).
 
     Defaults to the bundled artifacts (the reverb-trained FPU for reverb
     campaigns); --ckpt accepts an int8 .npz artifact or an orbax dir.
@@ -90,7 +98,7 @@ def _load_sweep_model(args, cfg):
             from azoom.models.quantize import load_quantized
 
             print(f"[BATCH] using quantized artifact {ckpt}")
-            return model, load_quantized(ckpt), feature_kind
+            return model, load_quantized(ckpt), feature_kind, None
         from azoom.train.loop import restore_checkpoint
 
         n_ch = 2 if feature_kind == "logmag_ipd" else 4
@@ -103,27 +111,38 @@ def _load_sweep_model(args, cfg):
             model,
             {"params": state.params, "batch_stats": state.batch_stats},
             feature_kind,
+            None,
         )
-    from azoom.models.pretrained import load_bundled
+    from azoom.models.pretrained import geo_adapt_dist, load_bundled
 
     # For plain --model fpu, reverb campaigns get the reverb-trained twin.
     name = args.model
     if name == "fpu" and not args.no_reverb:
         name = "fpu_reverb"
+    geo = (
+        None if getattr(args, "no_geo_adapt", False)
+        else geo_adapt_dist(name, cfg.mic_dist)
+    )
     tag = " (int8-MXU serving)" if quant else ""
+    tag += f" (geometry-adapted to {cfg.mic_dist*100:.0f} cm)" if geo else ""
     print(f"[BATCH] using bundled {name} artifact{tag}")
-    return load_bundled(name, quant=quant)
+    model, variables, feature_kind = load_bundled(name, quant=quant)
+    return model, variables, feature_kind, geo
 
 
 def run_vectorized(args):
     import jax
 
-    from azoom.config import DEFAULT
+    from azoom.config import DEFAULT, ROOM_DEFAULT
     from azoom.eval.reports import append_to_csv
     from azoom.parallel.mesh import make_mesh
     from azoom.parallel.sweep import learned_sweep, oracle_sweep, sweep_summary
 
-    cfg = DEFAULT.replace(mic_dist=0.04)
+    cfg = DEFAULT.replace(mic_dist=args.mic_dist)
+    # Keep the simulated room's physical array consistent with the
+    # enhancement config (round-3 fix: the room previously kept its 8 cm
+    # default pair whatever --mic-dist said).
+    room = ROOM_DEFAULT.with_mic_dist(args.mic_dist)
     reverb = not args.no_reverb
     n_dev = len(jax.devices())
     n = args.n + (-args.n) % n_dev  # round up to a multiple of devices
@@ -137,6 +156,7 @@ def run_vectorized(args):
         randomize=not args.fixed_angles,
         with_waveforms=not args.no_pesq,
         interferer_kind=args.interferer_kind,
+        room=room,
     )
     if args.beamformer == "oracle":
         if args.steer_error:
@@ -146,11 +166,11 @@ def run_vectorized(args):
             )
         sweep_fn, sweep_args = oracle_sweep, (cfg,)
     elif args.beamformer in ("mvdr", "hard_null", "rmvb"):
-        model, variables, feature_kind = _load_sweep_model(args, cfg)
+        model, variables, feature_kind, geo = _load_sweep_model(args, cfg)
         sweep_fn, sweep_args = learned_sweep, (cfg, model, variables)
         common.update(
             beamformer=args.beamformer, feature_kind=feature_kind,
-            steer_error_deg=args.steer_error,
+            steer_error_deg=args.steer_error, train_mic_dist=geo,
         )
     else:
         raise SystemExit(

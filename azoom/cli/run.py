@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["logmag_ipd", "physics"],
                    help="feature kind; defaults to what --model was "
                         "trained on (physics for deepfpu/tpufpu)")
+    p.add_argument("--no-geo-adapt", action="store_true",
+                   help="disable inference-time geometry adaptation "
+                        "(IPD rescaling to the artifact's training "
+                        "spacing when --mic-dist is smaller than it)")
+    p.add_argument("--mic-dist", type=float, default=None,
+                   help="mic spacing in meters (default from config)")
     p.add_argument("--angle", type=float, default=90.0, help="zoom steering angle (deg)")
     p.add_argument("--sigma", type=float, default=None, help="diagonal loading")
     p.add_argument("--zoom", type=float, default=None,
@@ -87,6 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _config(args):
     cfg = DEFAULT.replace(angle_target_deg=args.angle)
+    if getattr(args, "mic_dist", None) is not None:
+        cfg = cfg.replace(mic_dist=args.mic_dist)
     if args.zoom is not None:
         from azoom.beam.zoom import zoom_to_sigma
 
@@ -111,8 +119,11 @@ def do_sim(args, paths: PathsConfig) -> Path:
         interferer_kind=args.interferer_kind,
     )
     print(f"[SIM] Generating scene '{args.name}' ({spec})...")
+    room = RoomConfig()
+    if args.mic_dist is not None:
+        room = room.with_mic_dist(args.mic_dist)  # sim matches enhancement
     sc = generate_scene(
-        jax.random.PRNGKey(args.seed), spec, RoomConfig(), max_order=args.max_order
+        jax.random.PRNGKey(args.seed), spec, room, max_order=args.max_order
     )
     outdir = paths.run_sim_dir(args.name)
     fs = spec.fs
@@ -141,6 +152,9 @@ def model_features(args) -> str:
 
 
 def _load_model_variables(args, cfg):
+    """Returns (model, variables, geo_dist): geo_dist is the training
+    spacing to pass to the pipelines as ``train_mic_dist`` (geometry
+    adaptation), or None."""
     import jax
 
     from azoom.models.unet import DeepFPU, FreqPreservingUNet, TPUFPU
@@ -152,17 +166,27 @@ def _load_model_variables(args, cfg):
         # No checkpoint: serve the bundled artifact when the requested
         # features match its training features (one source of truth:
         # azoom.models.pretrained.load_bundled).
-        from azoom.models.pretrained import bundled_artifact_path, load_bundled
+        from azoom.models.pretrained import (
+            bundled_artifact_path,
+            geo_adapt_dist,
+            load_bundled,
+        )
 
         if bundled_artifact_path(args.model) is not None:
             model, variables, bundled_features = load_bundled(
                 args.model, quant=quant
             )
             if bundled_features == features:
+                geo = (
+                    None if getattr(args, "no_geo_adapt", False)
+                    else geo_adapt_dist(args.model, cfg.mic_dist)
+                )
                 print(f"[INF] Using bundled pretrained artifact "
                       f"{bundled_artifact_path(args.model).name}"
-                      + (" (int8-MXU serving)" if quant else ""))
-                return model, variables
+                      + (" (int8-MXU serving)" if quant else "")
+                      + (f" (geometry-adapted {geo*100:.0f} cm -> "
+                         f"{cfg.mic_dist*100:.0f} cm)" if geo else ""))
+                return model, variables, geo
         print("[INF] WARNING: no --ckpt given; using untrained weights")
 
     if args.model == "fpu":
@@ -182,12 +206,12 @@ def _load_model_variables(args, cfg):
 
             variables = load_quantized(ckpt)
             print(f"[INF] Loaded quantized artifact {ckpt}")
-            return model, variables
+            return model, variables, None
         from azoom.train.loop import restore_checkpoint
 
         state, step = restore_checkpoint(ckpt, state)
         print(f"[INF] Loaded checkpoint step {step} from {args.ckpt}")
-    return model, {"params": state.params, "batch_stats": state.batch_stats}
+    return model, {"params": state.params, "batch_stats": state.batch_stats}, None
 
 
 def do_inf(args, paths: PathsConfig) -> Path:
@@ -274,7 +298,7 @@ def do_inf(args, paths: PathsConfig) -> Path:
         )
         out = istft(S, cfg.n_fft, cfg.hop, length=mixture.shape[-1])
     else:
-        model, variables = _load_model_variables(args, cfg)
+        model, variables, geo = _load_model_variables(args, cfg)
         if args.autosteer:
             from azoom.pipelines.autosteer import autosteer_enhance
 
@@ -284,6 +308,7 @@ def do_inf(args, paths: PathsConfig) -> Path:
                 model=model, variables=variables,
                 feature_kind=model_features(args),
                 beamformer=args.beamformer,
+                train_mic_dist=geo,
             )
             print(f"[INF] autosteer locked onto {float(theta):.1f} deg "
                   f"(learned mask steered blind)")
@@ -293,6 +318,7 @@ def do_inf(args, paths: PathsConfig) -> Path:
             out = learned_enhance_streaming(
                 mixture, model, variables, cfg,
                 beamformer=args.beamformer, feature_kind=model_features(args),
+                train_mic_dist=geo,
             )
 
     if timer is not None:

@@ -84,6 +84,17 @@ class RoomConfig:
     interferer_pos_fixed: tuple[float, float, float] = (3.22, 3.06, 1.5)
     max_order: int = 15
 
+    def with_mic_dist(self, mic_dist: float) -> "RoomConfig":
+        """Same room, mic pair re-spaced to ``mic_dist`` around the same
+        center. Keeps room simulation geometry consistent with
+        PipelineConfig.mic_dist (the reference itself disagrees across
+        generations: masked_mvdr.py:10 D=0.01, world.py:28-31 8 cm,
+        world_building.py:13 4 cm)."""
+        (x0, y, z), (x1, _, _) = self.mic_locs[0], self.mic_locs[1]
+        cx = 0.5 * (x0 + x1)
+        locs = ((cx - mic_dist / 2, y, z), (cx + mic_dist / 2, y, z))
+        return dataclasses.replace(self, mic_locs=locs)
+
 
 ROOM_DEFAULT = RoomConfig()
 

@@ -10,6 +10,17 @@ native conv layout), batched over leading dims:
     (Final_pipeline/src/inference.py:117-127). sin/cos removes the phase
     wrap discontinuity; the freq map gives the conv net absolute frequency
     position despite being frequency-translation-invariant.
+
+Geometry adaptation (``ipd_scale``): the IPD at spacing d for a source at
+azimuth theta is -2 pi f d cos(theta) / c — linear in d. A net trained at
+spacing d_train can therefore serve any other array by rescaling the
+measured IPD by d_train / d_actual, which presents phase cues exactly as
+they would appear at the training geometry. The rescale is EXACT as long
+as the measured IPD is unwrapped, i.e. below the *actual* array's spatial
+aliasing limit c / (2 d f) — for arrays smaller than the training spacing
+(the common product case: d_actual = 1 cm vs d_train = 4 cm) that covers
+the whole band. ipd_scale=1 is a no-op, so trained artifacts are
+unaffected at their native geometry.
 """
 
 from __future__ import annotations
@@ -21,23 +32,33 @@ __all__ = ["logmag_ipd_features", "physics_aware_features"]
 _EPS = 1e-7
 
 
-def logmag_ipd_features(Y: jnp.ndarray) -> jnp.ndarray:
+def logmag_ipd_features(
+    Y: jnp.ndarray, ipd_scale: float | jnp.ndarray = 1.0
+) -> jnp.ndarray:
     """Stereo STFT (..., 2, F, T) -> features (..., F, T, 2):
-    [log|Y0|, IPD]."""
+    [log|Y0|, IPD * ipd_scale]."""
     logmag = jnp.log(jnp.abs(Y[..., 0, :, :]) + _EPS)
     ipd = jnp.angle(Y[..., 0, :, :]) - jnp.angle(Y[..., 1, :, :])
-    return jnp.stack([logmag, ipd], axis=-1)
+    return jnp.stack([logmag, ipd * ipd_scale], axis=-1)
 
 
-def physics_aware_features(Y: jnp.ndarray) -> jnp.ndarray:
+def physics_aware_features(
+    Y: jnp.ndarray, ipd_scale: float | jnp.ndarray = 1.0
+) -> jnp.ndarray:
     """Stereo STFT (..., 2, F, T) -> features (..., F, T, 4):
-    [log|Y0|, sin(IPD), cos(IPD), freq_map]."""
+    [log|Y0|, sin(ipd_scale*IPD), cos(ipd_scale*IPD), freq_map]."""
     logmag = jnp.log(jnp.abs(Y[..., 0, :, :]) + _EPS)
-    # sin/cos of IPD without computing angles: Y0 * conj(Y1) has phase = IPD.
     cross = Y[..., 0, :, :] * jnp.conj(Y[..., 1, :, :])
-    mag = jnp.abs(cross) + 1e-12
-    sin_ipd = cross.imag / mag
-    cos_ipd = cross.real / mag
+    if isinstance(ipd_scale, (int, float)) and float(ipd_scale) == 1.0:
+        # sin/cos of IPD without computing angles: Y0 * conj(Y1) has
+        # phase = IPD (cheaper: no arctan on the hot path).
+        mag = jnp.abs(cross) + 1e-12
+        sin_ipd = cross.imag / mag
+        cos_ipd = cross.real / mag
+    else:
+        ipd = jnp.angle(cross + 1e-20) * ipd_scale
+        sin_ipd = jnp.sin(ipd)
+        cos_ipd = jnp.cos(ipd)
     F = Y.shape[-2]
     fmap = jnp.broadcast_to(
         jnp.linspace(0.0, 1.0, F, dtype=jnp.float32)[:, None], logmag.shape[-2:]

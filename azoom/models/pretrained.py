@@ -26,6 +26,7 @@ from pathlib import Path
 
 __all__ = [
     "bundled_artifact_path",
+    "bundled_train_mic_dist",
     "load_bundled",
     "load_pretrained_fpu",
     "load_pretrained_deepfpu",
@@ -81,6 +82,46 @@ _PATHS = {
 def bundled_artifact_path(model: str = "fpu") -> Path | None:
     path = _PATHS[model]
     return path if path.exists() else None
+
+
+# Mic spacing each artifact's phase features were trained at. Used for
+# inference-time geometry adaptation (rescale measured IPD by
+# train_dist / actual_dist — azoom.masks.features): serving tpufpu on the
+# reference's real 1 cm array this lifts blind SIR from +13.6 to +24.4 dB
+# (RESULTS.md round 3). fpu_multigeo is None: it was *trained* across
+# spacings on unscaled features, so its cues must not be rescaled.
+_TRAIN_MIC_DIST = {
+    "fpu": 0.04,
+    "fpu_reverb": 0.04,
+    "fpu_multigeo": None,
+    "deepfpu": 0.04,
+    "tpufpu": 0.04,
+    "crn_causal": 0.04,
+}
+
+
+def bundled_train_mic_dist(model: str) -> float | None:
+    """Training spacing for geometry adaptation, or None for artifacts
+    that must see raw (unscaled) phase features."""
+    return _TRAIN_MIC_DIST[model]
+
+
+def geo_adapt_dist(model: str, actual_mic_dist: float) -> float | None:
+    """The ``train_mic_dist`` to pass to the learned pipelines for this
+    (artifact, array) pairing, or None to serve raw features.
+
+    Adaptation engages only for arrays SMALLER than the training spacing:
+    there the IPD rescale is exact over the whole band (below the small
+    array's aliasing limit) and recovers most of the mismatch loss
+    (1 cm: +11.1 -> +27.7 dB synthetic, +13.6 -> +24.4 real speech). For
+    larger arrays the measured IPD wraps where the training IPD would
+    not, the rescale corrupts those bands, and the raw features already
+    win (8 cm: raw +36.1 vs adapted +32.7) — so serve raw.
+    """
+    train = _TRAIN_MIC_DIST[model]
+    if train is None or actual_mic_dist >= train:
+        return None
+    return train
 
 
 def load_pretrained_fpu(quant: bool = False):

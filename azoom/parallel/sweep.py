@@ -197,6 +197,7 @@ def oracle_sweep(
         "cfg", "model", "n_scenes", "n_samples", "with_stoi", "n_interferers",
         "reverb", "randomize", "room", "beamformer", "feature_kind",
         "with_waveforms", "steer_error_deg", "interferer_kind",
+        "train_mic_dist",
     ),
 )
 def learned_sweep(
@@ -216,6 +217,7 @@ def learned_sweep(
     with_waveforms: bool = False,
     steer_error_deg: float = 0.0,
     interferer_kind: str = "speech",
+    train_mic_dist: float | None = None,
 ) -> dict:
     """Blind learned-mask campaign sweep: synth scenes (reverb by default,
     mirroring batch_run.py:23-29's RT60=0.5 / 2-interferer config), enhance
@@ -243,6 +245,7 @@ def learned_sweep(
         out = learned_enhance(
             sc["mixture"], model, variables, enh_cfg,
             beamformer=beamformer, feature_kind=feature_kind,
+            train_mic_dist=train_mic_dist,
         )
         res = _score(out, sc, cfg, with_stoi)
         if with_waveforms:

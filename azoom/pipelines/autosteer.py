@@ -49,6 +49,7 @@ def autosteer_enhance(
     beamformer: str = "mvdr",
     use_pallas: bool = False,
     fov_gate: bool = False,
+    train_mic_dist: float | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Enhance toward the dominant source inside the zoom FOV.
 
@@ -90,6 +91,7 @@ def autosteer_enhance(
             length=length, use_pallas=use_pallas,
             steer_deg=theta,
             fov_deg=fov_width_deg if fov_gate else None,
+            train_mic_dist=train_mic_dist,
         )
         return out, theta
 

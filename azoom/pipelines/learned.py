@@ -44,16 +44,19 @@ def predict_mask(
     Y: jnp.ndarray,
     feature_kind: str = "logmag_ipd",
     pad_multiple: int = 16,
+    ipd_scale: float | jnp.ndarray = 1.0,
 ) -> jnp.ndarray:
     """STFT (..., M, F, T) -> target mask (..., F, T) via the mask net.
 
     Handles feature extraction, time padding to the U-Net pool factor, a
-    batch axis if the input is unbatched, and cropping back.
+    batch axis if the input is unbatched, and cropping back. ``ipd_scale``
+    rescales phase cues to the net's training geometry (see
+    azoom.masks.features).
     """
     feats = (
-        logmag_ipd_features(Y)
+        logmag_ipd_features(Y, ipd_scale)
         if feature_kind == "logmag_ipd"
-        else physics_aware_features(Y)
+        else physics_aware_features(Y, ipd_scale)
     )
     unbatched = feats.ndim == 3
     if unbatched:
@@ -84,6 +87,7 @@ def learned_enhance(
     use_pallas: bool = False,
     fov_deg: float | jnp.ndarray | None = None,
     steer_deg: float | jnp.ndarray | None = None,
+    train_mic_dist: float | None = None,
 ) -> jnp.ndarray:
     """Whole-signal learned enhancement: (..., M, n) -> (..., n).
 
@@ -103,13 +107,24 @@ def learned_enhance(
     continuously-changing camera zoom/direction reuses one compiled
     program; ``steer_deg`` overrides ``cfg.angle_target_deg`` as the look
     direction (e.g. a DOA estimate from azoom.pipelines.autosteer).
+    ``train_mic_dist`` enables geometry adaptation: give the spacing the
+    mask net was trained at (e.g. 0.04 for the bundled artifacts) and its
+    phase features are rescaled by train_mic_dist / cfg.mic_dist, so one
+    artifact serves arrays of any (smaller) spacing at full quality
+    (azoom.masks.features docstring; measured on the reference's real
+    1 cm array in RESULTS.md "geometry adaptation").
     """
     n = mixture.shape[-1]
     length = n if length is None else length
     steer = cfg.angle_target_deg if steer_deg is None else steer_deg
+    ipd_scale = (
+        1.0 if train_mic_dist is None else train_mic_dist / cfg.mic_dist
+    )
 
     Y = stft(mixture, cfg.n_fft, cfg.hop)
-    tgt_mask = predict_mask(model, variables, Y, feature_kind)
+    tgt_mask = predict_mask(
+        model, variables, Y, feature_kind, ipd_scale=ipd_scale
+    )
     noise_mask = 1.0 - tgt_mask
     if fov_deg is not None:
         from azoom.masks.geometric import apply_fov_gate, fov_noise_gate
@@ -170,13 +185,15 @@ def learned_enhance_streaming(
     cfg: PipelineConfig,
     beamformer: str = "mvdr",
     feature_kind: str = "logmag_ipd",
+    train_mic_dist: float | None = None,
 ) -> jnp.ndarray:
     """Chunked 2 s / 50 % overlap-add variant for arbitrary-length audio —
     the reference's real-time execution model (Final inference.py:171-233)."""
 
     def process(chunk):
         return learned_enhance(
-            chunk, model, variables, cfg, beamformer, feature_kind
+            chunk, model, variables, cfg, beamformer, feature_kind,
+            train_mic_dist=train_mic_dist,
         )
 
     hop = cfg.win_size // 2

@@ -83,10 +83,15 @@ class AudioZoom:
         if self.latency == "low" and self.model is None:
             self.model = "crn_causal"
         self._mask_net = None
+        self._train_mic_dist = None
         if self.model is not None:
-            from azoom.models.pretrained import load_bundled
+            from azoom.models.pretrained import geo_adapt_dist, load_bundled
 
             self._mask_net = load_bundled(self.model, quant=self.int8)
+            # Geometry adaptation: rescale phase features to the net's
+            # training spacing when this array is smaller than it
+            # (geo_adapt_dist docstring; no-op at the 4 cm default).
+            self._train_mic_dist = geo_adapt_dist(self.model, self.cfg.mic_dist)
         if self.latency == "low":
             net = self._mask_net[0]
             if not hasattr(net, "initial_carries"):
@@ -132,6 +137,7 @@ class AudioZoom:
                     fov_width_deg=self.fov_deg,
                     model=net, variables=variables, feature_kind=feats,
                     fov_gate=True,
+                    train_mic_dist=self._train_mic_dist,
                 )
                 return out
             if hasattr(net, "initial_carries"):
@@ -145,6 +151,7 @@ class AudioZoom:
             return learned_enhance(
                 window, net, variables, cfg, feature_kind=feats,
                 fov_deg=float(self.fov_deg),
+                train_mic_dist=self._train_mic_dist,
             )
         out, _ = autosteer_enhance(
             window, cfg, fov_center_deg=self.direction_deg,
