@@ -19,15 +19,23 @@ from pathlib import Path
 
 import numpy as np
 
-from azoom.eval.pesq_bridge import pesq_scores
+from azoom.eval.pesq_bridge import PESQ_BACKEND, pesq_scores
 from azoom.eval.projection import osinr_osir
 from azoom.eval.stoi import stoi as stoi_fn
 
 __all__ = ["compute_run_metrics", "format_report", "append_to_csv", "evaluate_run_files"]
 
+# Column layout mirrors the reference CSV (metrics.py:16-44). When the
+# certified ITU library produced the perceptual scores the columns carry
+# its exact names; when the built-in from-scratch estimator did, they are
+# suffixed `_native` so numbers from the two backends can never be
+# mistaken for the same scale (pesq_native is structurally P.862 but not
+# conformance-tested — azoom.eval.pesq_native docstring).
+_PESQ_SUFFIX = "" if PESQ_BACKEND == "itu" else "_native"
 CSV_HEADERS = [
     "Run_ID", "SIR_Base", "SIR_Enh", "SIR_Imp",
-    "SINR_Base", "SINR_Enh", "STOI", "PESQ_WB", "PESQ_NB",
+    "SINR_Base", "SINR_Enh", "STOI",
+    f"PESQ_WB{_PESQ_SUFFIX}", f"PESQ_NB{_PESQ_SUFFIX}",
 ]
 
 
@@ -109,8 +117,8 @@ def append_to_csv(csv_path: str | os.PathLike, run_name: str, m: dict) -> None:
                 "SINR_Base": f"{m['sinr_b']:.2f}",
                 "SINR_Enh": f"{m['sinr_s']:.2f}",
                 "STOI": _fmt(m["stoi"], ".4f"),
-                "PESQ_WB": _fmt(m["pesq_wb"], ".4f"),
-                "PESQ_NB": _fmt(m["pesq_nb"], ".4f"),
+                f"PESQ_WB{_PESQ_SUFFIX}": _fmt(m["pesq_wb"], ".4f"),
+                f"PESQ_NB{_PESQ_SUFFIX}": _fmt(m["pesq_nb"], ".4f"),
             }
         )
 
