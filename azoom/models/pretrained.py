@@ -203,7 +203,7 @@ def load_pretrained_tpufpu(quant: bool = False):
     return TPUFPU(base=64, fold=4, quant=quant), load_quantized(_TPUFPU_ARTIFACT)
 
 
-def load_bundled(name: str, quant: bool = False):
+def load_bundled(name: str, quant: bool = False, fold_bn: bool = False):
     """One dispatcher for every bundled artifact (the single source of
     truth for model-name -> (loader, feature_kind); CLIs and the
     AudioZoom facade all route through here so a new model is added in
@@ -211,6 +211,16 @@ def load_bundled(name: str, quant: bool = False):
 
     Returns (model, variables, feature_kind). ``quant`` serves the mask
     nets on the int8 MXU path where supported (ignored for the CRN).
+    ``fold_bn`` absorbs every Conv->BatchNorm pair into the conv
+    kernel/bias at load time — the TFLite-converter fold
+    (azoom.models.quantize.fold_batchnorm). Default OFF: measured
+    throughput-neutral on v5e (220.0 vs 224.2 us/apply — XLA already
+    fuses inference-mode BN into the conv epilogue, so there is no
+    latency to recover; RESULTS.md round 3), and on the int8 path the
+    identity-BN rewrite perturbs activations by ~1 ulp which re-rounds a
+    few activation codes (SIR unchanged: +24.48 vs +24.50 on the real
+    fixture). Available for payload slimming or export to runtimes
+    without an XLA-grade fuser.
     """
     table = {
         "fpu": (load_pretrained_fpu, "logmag_ipd", True),
@@ -226,4 +236,8 @@ def load_bundled(name: str, quant: bool = False):
     model, variables = (
         loader(quant=quant) if supports_quant else loader()
     )
+    if fold_bn and supports_quant:  # conv nets only; the CRN has no BN
+        from azoom.models.quantize import fold_batchnorm
+
+        variables = fold_batchnorm(variables)
     return model, variables, feature_kind

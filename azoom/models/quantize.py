@@ -27,6 +27,7 @@ __all__ = [
     "save_quantized",
     "load_quantized",
     "calibrate_act_scales",
+    "fold_batchnorm",
 ]
 
 _MIN_QUANT_SIZE = 64  # leave tiny tensors (biases, BN) in float
@@ -161,6 +162,76 @@ def calibrate_act_scales(model, variables: Any, batches) -> Any:
             "no quant_stats recorded — is the model built with quant=True?"
         )
     return {**variables, "quant_stats": qs}
+
+
+_BN_EPS = 1e-5  # flax nn.BatchNorm default (none of the nets override it)
+
+
+def fold_batchnorm(variables: Any) -> Any:
+    """Serving-time BatchNorm folding: absorb every Conv->BN pair into the
+    conv's kernel/bias and leave the BN an exact identity.
+
+    At inference BN(y) = gamma * (y - mean) / sqrt(var + eps) + beta is a
+    per-channel affine, so with s = gamma / sqrt(var + eps):
+
+        kernel'[..., c] = kernel[..., c] * s[c]
+        bias'[c]        = (bias[c] - mean[c]) * s[c] + beta[c]
+
+    computes Conv->BN in the conv itself; the BN site is rewritten to
+    gamma=1, beta=0, mean=0, var=1-eps (exactly identity), which XLA
+    constant-folds away. For the int8 path (:class:`QConv`) the fold is
+    free of quantization cost: weight scales are per-output-channel
+    symmetric, so scaling a channel by s rescales its w_scale identically
+    and the int8 codes are bit-identical (only the dequant scale/bias
+    change) — this is the TFLite-converter BN fold, done on the variables
+    pytree instead of a flatbuffer (tf_lite_version/model_neural.py:
+    180-187 ships its nets through exactly that converter pass).
+
+    Pairing rule: within one module's params dict, ``Conv_i`` /
+    ``BatchNorm_i`` with matching channel counts (ConvBNRelu and ResBlock
+    lay their children out this way). Returns new variables; inference
+    outputs are identical to ~1e-6. Fine-tuning folded variables would
+    re-learn BN from an identity restart — fold for serving only.
+    """
+    def plain(t):
+        if hasattr(t, "items"):  # dict or FrozenDict
+            return {k: plain(v) for k, v in t.items()}
+        return np.asarray(t)
+
+    params = plain(variables["params"])
+    stats = plain(variables.get("batch_stats", {}))
+
+    def walk(p: dict, s: dict):
+        for name in list(p):
+            if not name.startswith("Conv_"):
+                continue
+            bn = "BatchNorm_" + name.split("_")[1]
+            if bn not in p or bn not in s:
+                continue
+            conv, bnp, bns = p[name], p[bn], s[bn]
+            if "kernel" not in conv or "bias" not in conv or conv["kernel"].ndim < 2:
+                continue
+            cout = conv["kernel"].shape[-1]
+            if bns["mean"].shape[-1] != cout:
+                continue
+            scale = bnp["scale"] / np.sqrt(bns["var"] + _BN_EPS)
+            conv["kernel"] = conv["kernel"] * scale
+            conv["bias"] = (conv["bias"] - bns["mean"]) * scale + bnp["bias"]
+            bnp["scale"] = np.ones_like(bnp["scale"])
+            bnp["bias"] = np.zeros_like(bnp["bias"])
+            bns["mean"] = np.zeros_like(bns["mean"])
+            bns["var"] = np.full_like(bns["var"], 1.0 - _BN_EPS)
+        for name, child in p.items():
+            if isinstance(child, dict) and isinstance(s.get(name), dict):
+                walk(child, s[name])
+
+    walk(params, stats)
+    to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    out = dict(variables)
+    out["params"] = to_jnp(params)
+    if stats:
+        out["batch_stats"] = to_jnp(stats)
+    return out
 
 
 def quantization_error(variables: Any, qvariables: Any) -> float:

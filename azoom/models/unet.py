@@ -139,6 +139,20 @@ class QConv(nn.Module):
             x_scale = jnp.max(jnp.abs(xf)) / 127.0 + 1e-30
         x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
 
+        if not self.is_initializing() and self.is_mutable_collection("quant_debug"):
+            # Ablation instrumentation (not on any serving path): fraction
+            # of activations the static scale clips, and how far past the
+            # code range the worst one lands — apply(...,
+            # mutable=["quant_debug"]) to read per-layer saturation.
+            dbg = self.variable(
+                "quant_debug", "clip_frac", lambda: jnp.zeros((), jnp.float32)
+            )
+            dbg.value = jnp.mean((jnp.abs(xf) > 127.0 * x_scale).astype(jnp.float32))
+            over = self.variable(
+                "quant_debug", "overshoot", lambda: jnp.zeros((), jnp.float32)
+            )
+            over.value = jnp.max(jnp.abs(xf)) / (127.0 * x_scale)
+
         dn = jax.lax.conv_dimension_numbers(
             x_q.shape, w_q.shape, ("NHWC", "HWIO", "NHWC")
         )
