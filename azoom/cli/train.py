@@ -15,7 +15,13 @@ import os
 def main(argv=None):
     p = argparse.ArgumentParser(prog="azoom.train")
     p.add_argument("--model", default="fpu",
-                   choices=["fpu", "deepfpu", "blstm", "crn"])
+                   choices=["fpu", "deepfpu", "tpufpu", "blstm", "crn"])
+    p.add_argument("--fold", type=int, default=4,
+                   help="tpufpu only: frequency space-to-depth factor")
+    p.add_argument("--init-from", default=None,
+                   help="bundled artifact name to warm-start from (e.g. "
+                        "'tpufpu' to fine-tune the flagship on a corpus); "
+                        "model/base/fold must match the artifact")
     p.add_argument("--features", default="logmag_ipd", choices=["logmag_ipd", "physics"])
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=16)
@@ -52,9 +58,24 @@ def main(argv=None):
 
         model = CRNMaskNet(base=args.base // 2, hidden=4 * args.base,
                            unidirectional=args.causal)
+    elif args.model == "tpufpu":
+        from azoom.models.unet import TPUFPU
+
+        model = TPUFPU(base=args.base, fold=args.fold)
     else:
         model_cls = FreqPreservingUNet if args.model == "fpu" else DeepFPU
         model = model_cls(base=args.base)
+    init_variables = None
+    if args.init_from is not None:
+        from azoom.models.pretrained import load_bundled
+
+        _, init_variables, bundled_feats = load_bundled(args.init_from)
+        if bundled_feats != args.features:
+            raise SystemExit(
+                f"--init-from {args.init_from} was trained on "
+                f"'{bundled_feats}' features; pass --features {bundled_feats}"
+            )
+        print(f"[TRAIN] warm-starting from bundled '{args.init_from}'")
     mesh = None
     if args.dp and len(jax.devices()) > 1:
         from azoom.parallel.mesh import make_mesh
@@ -73,6 +94,7 @@ def main(argv=None):
         reverb=args.reverb,
         angle_jitter_deg=args.angle_jitter,
         corpus_root=args.corpus or os.environ.get("AZOOM_DATA_DIR"),
+        init_variables=init_variables,
         seed=args.seed,
         checkpoint_dir=args.ckpt,
         resume=not args.no_resume,

@@ -122,6 +122,7 @@ def fit(
     reverb: bool = False,
     angle_jitter_deg: float = 0.0,
     corpus_root: str | Path | None = None,
+    init_variables: Any | None = None,
     seed: int = 0,
     checkpoint_dir: str | Path | None = None,
     checkpoint_every: int = 200,
@@ -152,6 +153,15 @@ def fit(
     state = create_state(
         model, jax.random.PRNGKey(seed), (1, F, T, n_channels), learning_rate
     )
+    if init_variables is not None:
+        # Warm start (fine-tune) from existing weights, e.g. a bundled
+        # artifact — the reference's LJSpeech fine-tune entry point
+        # (model_training.py:141-148 loads a prior state_dict the same
+        # way). A checkpoint resume below still takes precedence.
+        state = state.replace(
+            params=init_variables["params"],
+            batch_stats=init_variables.get("batch_stats", state.batch_stats),
+        )
 
     start_step = 0
     mngr = None
