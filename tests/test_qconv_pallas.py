@@ -1,0 +1,194 @@
+"""Parity tests for the fused int8 Pallas conv kernel and the TPUFPU
+Pallas serving forward (interpret mode on CPU; the compiled path runs on
+real chips and is exercised by bench.py / the driver dryrun).
+
+The int8 arithmetic is bit-identical to azoom.models.unet.QConv by
+construction (same quantize formula, integer conv); only the epilogue
+rounding order differs (one fused f32 affine vs QConv's bf16 round-trip
+through BatchNorm), so tolerances below are a couple of bf16 ulps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from azoom.models.unet import TPUFPU, ConvBNRelu, ResBlock
+from azoom.pallas.qconv_kernel import qconv3x3_pallas
+from azoom.pallas.tpufpu_serve import tpufpu_apply_pallas
+
+
+def _randomize_bn(variables, key):
+    """Give BatchNorm non-trivial running stats/affine so the fold is
+    actually tested (init leaves them at identity)."""
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    stats = jax.tree_util.tree_map(lambda x: x, variables["batch_stats"])
+
+    def walk(tree, is_stats):
+        for name, sub in tree.items():
+            if name.startswith("BatchNorm"):
+                for leaf in sub:
+                    key_i = jax.random.fold_in(key, hash(name + leaf) % 2**30)
+                    shape = sub[leaf].shape
+                    if leaf in ("var",):
+                        sub[leaf] = 0.5 + jax.random.uniform(key_i, shape)
+                    elif leaf in ("scale",):
+                        sub[leaf] = 0.7 + 0.6 * jax.random.uniform(key_i, shape)
+                    else:  # mean / bias
+                        sub[leaf] = 0.3 * jax.random.normal(key_i, shape)
+            elif isinstance(sub, dict):
+                walk(sub, is_stats)
+
+    walk(params, False)
+    walk(stats, True)
+    return {**variables, "params": params, "batch_stats": stats}
+
+
+def _calibrated(module, x, key):
+    variables = module.init(key, x)
+    variables = _randomize_bn(variables, jax.random.fold_in(key, 1))
+    _, mut = module.apply(variables, x, mutable=["quant_stats"])
+    return {**variables, "quant_stats": mut["quant_stats"]}
+
+
+@pytest.mark.parametrize("cin,cout", [(16, 64), (128, 128)])
+def test_qconv_cell_matches_flax(rng, cin, cout):
+    """ConvBNRelu (conv+BN+ReLU) == fused kernel, both channel regimes
+    (9-dot narrow path and im2col wide path)."""
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rng.standard_normal((2, 9, 8, cin)), jnp.float32)
+    cell = ConvBNRelu(cout, dtype=jnp.float32, quant=True)
+    v = _calibrated(cell, x, key)
+
+    ref = cell.apply(v, x)
+    p, s, q = v["params"], v["batch_stats"], v["quant_stats"]
+    got = qconv3x3_pallas(
+        x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+        q["Conv_0"]["act_scale"],
+        bn=(p["BatchNorm_0"]["scale"], p["BatchNorm_0"]["bias"],
+            s["BatchNorm_0"]["mean"], s["BatchNorm_0"]["var"]),
+        relu=True, out_dtype=jnp.float32,
+    )
+    assert got.shape == ref.shape
+    err = float(jnp.max(jnp.abs(got - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    assert err / scale < 2e-5, f"cell mismatch: rel {err/scale:.2e}"
+
+
+def test_qconv_residual_matches_resblock(rng):
+    """ResBlock tail (residual add before final ReLU) parity."""
+    key = jax.random.PRNGKey(1)
+    x = jnp.asarray(rng.standard_normal((2, 9, 8, 128)), jnp.float32)
+    block = ResBlock(128, dtype=jnp.float32, quant=True)
+    v = _calibrated(block, x, key)
+
+    ref = block.apply(v, x)
+    p, s, q = v["params"], v["batch_stats"], v["quant_stats"]
+    h = qconv3x3_pallas(
+        x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+        q["Conv_0"]["act_scale"],
+        bn=(p["BatchNorm_0"]["scale"], p["BatchNorm_0"]["bias"],
+            s["BatchNorm_0"]["mean"], s["BatchNorm_0"]["var"]),
+        relu=True, out_dtype=jnp.float32,
+    )
+    got = qconv3x3_pallas(
+        h, p["Conv_1"]["kernel"], p["Conv_1"]["bias"],
+        q["Conv_1"]["act_scale"],
+        bn=(p["BatchNorm_1"]["scale"], p["BatchNorm_1"]["bias"],
+            s["BatchNorm_1"]["mean"], s["BatchNorm_1"]["var"]),
+        residual=x, relu=True, out_dtype=jnp.float32,
+    )
+    err = float(jnp.max(jnp.abs(got - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    assert err / scale < 2e-5, f"resblock mismatch: rel {err/scale:.2e}"
+
+
+def test_qconv_no_bn_no_relu(rng):
+    """Bare conv parity against QConv's own math (no BN site)."""
+    from azoom.models.unet import QConv
+
+    key = jax.random.PRNGKey(2)
+    x = jnp.asarray(rng.standard_normal((1, 7, 8, 16)), jnp.float32)
+    conv = QConv(32, (3, 3), dtype=jnp.float32)
+    v = conv.init(key, x)
+    _, mut = conv.apply(v, x, mutable=["quant_stats"])
+    v = {**v, "quant_stats": mut["quant_stats"]}
+    ref = conv.apply(v, x)
+    got = qconv3x3_pallas(
+        x, v["params"]["kernel"], v["params"]["bias"],
+        v["quant_stats"]["act_scale"], bn=None, relu=False,
+        out_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_odd_plane_tiling(rng):
+    """Plane sizes that do not divide the row tile exercise the padded
+    tail (Np % R != 0) and the crop."""
+    key = jax.random.PRNGKey(3)
+    x = jnp.asarray(rng.standard_normal((3, 129, 8, 16)), jnp.float32)
+    cell = ConvBNRelu(32, dtype=jnp.float32, quant=True)
+    v = _calibrated(cell, x, key)
+    ref = cell.apply(v, x)
+    p, s, q = v["params"], v["batch_stats"], v["quant_stats"]
+    got = qconv3x3_pallas(
+        x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+        q["Conv_0"]["act_scale"],
+        bn=(p["BatchNorm_0"]["scale"], p["BatchNorm_0"]["bias"],
+            s["BatchNorm_0"]["mean"], s["BatchNorm_0"]["var"]),
+        relu=True, out_dtype=jnp.float32, block_rows=256,
+    )
+    err = float(jnp.max(jnp.abs(got - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    assert err / scale < 2e-5
+
+
+def test_tpufpu_serve_parity(rng):
+    """Full-net parity: tpufpu_apply_pallas == TPUFPU.apply (quant=True,
+    calibrated), f32 activations for a tight bound."""
+    from azoom.models.quantize import calibrate_act_scales
+
+    model = TPUFPU(base=8, fold=4, dtype=jnp.float32, quant=True)
+    x = jnp.asarray(rng.standard_normal((2, 513, 16, 4)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(4), x)
+    v = _randomize_bn(v, jax.random.PRNGKey(5))
+    v = calibrate_act_scales(model, v, [x])
+
+    ref = model.apply(v, x)
+    got = tpufpu_apply_pallas(model, v, x)
+    assert got.shape == ref.shape == (2, 513, 16)
+    # Per-cell parity is ~2e-5 (tests above), but each of the 24 layers
+    # re-quantizes its input, and a 1-ulp activation difference at a
+    # round(x/s) boundary flips an int8 code; those flips compound. A few
+    # 1e-3 on a sigmoid mask is the irreducible cost of ANY epilogue
+    # reordering (same class as the int8-vs-float gap, which is ~1e-2).
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < 5e-3, f"tpufpu serve mismatch: max {err:.2e}"
+    mean_err = float(jnp.mean(jnp.abs(got - ref)))
+    assert mean_err < 2e-4, f"tpufpu serve mean mismatch: {mean_err:.2e}"
+    assert bool(jnp.all((got >= 0) & (got <= 1)))
+
+
+def test_tpufpu_serve_parity_bf16(rng):
+    """Serving dtype (bf16 activations): masks agree to a few bf16 ulps
+    through the sigmoid."""
+    from azoom.models.quantize import calibrate_act_scales
+
+    model = TPUFPU(base=8, fold=4, dtype=jnp.bfloat16, quant=True)
+    x = jnp.asarray(rng.standard_normal((1, 513, 16, 4)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(6), x)
+    v = calibrate_act_scales(model, v, [x])
+    ref = model.apply(v, x)
+    got = tpufpu_apply_pallas(model, v, x)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    assert err < 0.05, f"bf16 serve mismatch: max {err:.2e}"
+
+
+def test_serve_requires_calibration(rng):
+    model = TPUFPU(base=8, fold=4, quant=True)
+    x = jnp.zeros((1, 513, 16, 4))
+    v = model.init(jax.random.PRNGKey(7), x)
+    with pytest.raises(ValueError, match="quant_stats"):
+        tpufpu_apply_pallas(model, v, x)
