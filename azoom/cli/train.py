@@ -18,6 +18,9 @@ def main(argv=None):
                    choices=["fpu", "deepfpu", "tpufpu", "blstm", "crn"])
     p.add_argument("--fold", type=int, default=4,
                    help="tpufpu only: frequency space-to-depth factor")
+    p.add_argument("--bneck", type=int, default=8,
+                   help="tpufpu only: bottleneck width multiplier "
+                        "(channels = base * bneck; 4 = the slim variant)")
     p.add_argument("--init-from", default=None,
                    help="bundled artifact name to warm-start from (e.g. "
                         "'tpufpu' to fine-tune the flagship on a corpus); "
@@ -61,7 +64,7 @@ def main(argv=None):
     elif args.model == "tpufpu":
         from azoom.models.unet import TPUFPU
 
-        model = TPUFPU(base=args.base, fold=args.fold)
+        model = TPUFPU(base=args.base, fold=args.fold, bneck=args.bneck)
     else:
         model_cls = FreqPreservingUNet if args.model == "fpu" else DeepFPU
         model = model_cls(base=args.base)

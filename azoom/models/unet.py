@@ -341,12 +341,21 @@ class TPUFPU(nn.Module):
     No reference counterpart (a TPU-native addition; the reference's
     model zoo is the FPU/DeepFPU family, resnet_model_mvdr/inference.py:
     53-137).
+
+    ``bneck`` scales the bottleneck width (channels = base * bneck).
+    The default 8 matches the DeepFPU ratio and every bundled artifact;
+    the round-3 speed-of-light study showed the net runs at the chip's
+    int8 ceiling, so further speed must come from FLOPs — the bottleneck
+    level (5 convs at base*8 on T/8 frames) is 44 % of the net's MACs,
+    and the round-2 capacity ablation (base=96: +0.003 acc) says
+    capacity is saturated. bneck=4 cuts total MACs ~32 %.
     """
 
     base: int = 64
     fold: int = 4
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    bneck: int = 8
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -364,9 +373,9 @@ class TPUFPU(nn.Module):
         e2 = enc_level(_pool_time(e1), self.base * 2)
         e3 = enc_level(_pool_time(e2), self.base * 4)
 
-        b = ConvBNRelu(self.base * 8, d, q)(_pool_time(e3), train)
-        b = ResBlock(self.base * 8, d, q)(b, train)
-        b = ResBlock(self.base * 8, d, q)(b, train)
+        b = ConvBNRelu(self.base * self.bneck, d, q)(_pool_time(e3), train)
+        b = ResBlock(self.base * self.bneck, d, q)(b, train)
+        b = ResBlock(self.base * self.bneck, d, q)(b, train)
 
         def dec_level(h, skip, feats, last=False):
             h = _up_time(h, feats, d)

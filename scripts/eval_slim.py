@@ -1,0 +1,93 @@
+"""Head-to-head: slim TPUFPU (bneck=4, fresh 10k-step train) vs the
+bundled flagship (bneck=8) on identical held-out scenes.
+
+Reports, per model: held-out mask accuracy (unseen synthesis keys),
+blind SIR improvement from learned_sweep (anechoic + reverb, int8 with
+calibrated static scales), and net-only serving latency.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import azoom  # noqa: F401
+from azoom.config import PipelineConfig
+from azoom.models.pretrained import load_bundled
+from azoom.models.quantize import calibrate_act_scales
+from azoom.models.unet import TPUFPU, pad_frames
+from azoom.parallel.sweep import learned_sweep
+from azoom.train.data import synth_batch
+from azoom.train.loop import create_state, mask_accuracy, restore_checkpoint
+
+cfg = PipelineConfig(mic_dist=0.04)
+CKPT = "/root/repo/checkpoints/tpufpu_b64s4_phy"
+
+
+def load_slim():
+    model = TPUFPU(base=64, fold=4, quant=True, bneck=4)
+    probe = synth_batch(jax.random.PRNGKey(0), 1, cfg, "physics", cfg.win_size)
+    template = create_state(
+        TPUFPU(base=64, fold=4, bneck=4), jax.random.PRNGKey(0),
+        probe["features"].shape,
+    )
+    state, step = restore_checkpoint(CKPT, template)
+    print(f"slim checkpoint at step {step}", flush=True)
+    return model, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def evaluate(name, model, variables):
+    # calibrate static act scales (the serving configuration)
+    variables = calibrate_act_scales(
+        model, variables,
+        (synth_batch(jax.random.PRNGKey(1000 + i), 4, cfg, "physics",
+                     cfg.win_size)["features"] for i in range(3)),
+    )
+    # held-out mask accuracy, unseen keys (same keys for both models)
+    accs = []
+    for i in range(6):
+        b = synth_batch(jax.random.PRNGKey(7000 + i), 4, cfg, "physics",
+                        cfg.win_size)
+        feats, t = pad_frames(b["features"], 16)
+        pred = model.apply(variables, feats)[..., :t]
+        accs.append(float(mask_accuracy(pred, b["label"])))
+    acc = float(np.mean(accs))
+
+    # blind SIR improvement, anechoic + reverb campaigns
+    rows = {}
+    for tag, reverb in (("anechoic", False), ("reverb", True)):
+        r = learned_sweep(
+            jax.random.PRNGKey(42), cfg, model, variables,
+            n_scenes=16, reverb=reverb, feature_kind="physics",
+            with_stoi=False,
+        )
+        rows[tag] = float(jnp.mean(r["sir_imp"]))
+
+    # net-only latency at serving batch
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(
+        rng.standard_normal((128, 513, 64, 4)), jnp.float32)
+    feats, _ = pad_frames(feats, 16)
+    loop = jax.jit(lambda f, v: jax.lax.fori_loop(
+        0, 20, lambda i, c: model.apply(v, f + 1e-6 * c[..., None]).astype(jnp.float32),
+        jnp.zeros(f.shape[:3], jnp.float32)))
+    float(jnp.sum(jnp.abs(loop(feats, variables))))
+    t0 = time.perf_counter()
+    float(jnp.sum(jnp.abs(loop(feats, variables))))
+    dt = (time.perf_counter() - t0) / 20
+
+    print(f"{name:24s} acc={acc:.3f}  anechoic=+{rows['anechoic']:.2f} dB  "
+          f"reverb=+{rows['reverb']:.2f} dB  net={dt*1e3:.2f} ms", flush=True)
+    return acc, rows, dt
+
+
+if __name__ == "__main__":
+    fm, fv, _ = load_bundled("tpufpu", quant=True)
+    evaluate("flagship bneck=8", fm, fv)
+    sm, sv = load_slim()
+    evaluate("slim bneck=4", sm, sv)

@@ -1,0 +1,23 @@
+"""Train the slim-bottleneck TPUFPU (bneck=4) with the flagship recipe."""
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import jax.numpy as jnp  # noqa: F401
+import azoom  # noqa: F401
+from azoom.config import PipelineConfig
+from azoom.models.unet import TPUFPU
+from azoom.train.loop import fit
+
+cfg = PipelineConfig(mic_dist=0.04)
+res = fit(
+    TPUFPU(base=64, fold=4, bneck=4),
+    cfg,
+    n_steps=10_000,
+    batch_size=8,
+    feature_kind="physics",
+    angle_jitter_deg=3.0,
+    checkpoint_dir="/root/repo/checkpoints/tpufpu_b64s4_phy",
+    resume=True,
+    log_every=200,
+)
+print(f"[TRAIN] done at step {int(res.state.step)}")

@@ -150,3 +150,24 @@ def test_tpufpu_trains_and_quant_serves():
     model_q = TPUFPU(base=8, fold=4, quant=True)
     y_q = model_q.apply(variables, x)
     assert float(jnp.max(jnp.abs(y_f - y_q))) < 0.08
+
+
+def test_tpufpu_bneck_variant():
+    """bneck scales only the bottleneck level: bneck=4 halves the
+    bottleneck channels (slim serving variant, round 3), the default 8
+    reproduces the bundled-artifact tree exactly."""
+    from azoom.models.unet import TPUFPU
+
+    x = jnp.zeros((1, 513, 16, 4))
+    slim = TPUFPU(base=8, fold=4, bneck=4)
+    v_slim = slim.init(jax.random.PRNGKey(0), x)
+    assert v_slim["params"]["ConvBNRelu_2"]["Conv_0"]["kernel"].shape[-1] == 32
+    y = slim.apply(v_slim, x)
+    assert y.shape == (1, 513, 16)
+
+    default = TPUFPU(base=8, fold=4)
+    v_def = default.init(jax.random.PRNGKey(0), x)
+    assert v_def["params"]["ConvBNRelu_2"]["Conv_0"]["kernel"].shape[-1] == 64
+    # identical tree structure (only the bottleneck widths differ)
+    assert (jax.tree_util.tree_structure(v_slim)
+            == jax.tree_util.tree_structure(v_def))
