@@ -29,7 +29,7 @@ def build_parser():
     p.add_argument("--beamformer", default="oracle",
                    choices=["oracle", "mvdr", "hard_null", "rmvb", "gev"])
     p.add_argument("--model", default="fpu",
-                   choices=["fpu", "deepfpu", "tpufpu"],
+                   choices=["fpu", "deepfpu", "tpufpu", "tpufpu_slim"],
                    help="mask net for learned beamformers (both modes); "
                         "tpufpu = MXU-shaped flagship")
     p.add_argument("--ckpt", default=None)
@@ -91,6 +91,10 @@ def _load_sweep_model(args, cfg):
             from azoom.models.unet import TPUFPU
 
             model = TPUFPU(base=64, fold=4, quant=quant)
+        elif args.model == "tpufpu_slim":
+            from azoom.models.unet import TPUFPU
+
+            model = TPUFPU(base=64, fold=4, quant=quant, bneck=4)
         else:
             model = DeepFPU(quant=quant)
         ckpt = Path(args.ckpt)

@@ -61,9 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "same checkpoint, ~1.5x faster on v5e, blind SIR "
                         "within 0.2 dB of float — see RESULTS.md)")
     p.add_argument("--model", default="fpu",
-                   choices=["fpu", "deepfpu", "tpufpu"],
+                   choices=["fpu", "deepfpu", "tpufpu", "tpufpu_slim"],
                    help="mask net; tpufpu = the MXU-shaped flagship "
-                        "(physics features, 2.25x deepfpu's speed)")
+                        "(physics features, 2.25x deepfpu's speed); "
+                        "tpufpu_slim = bneck=4 serving variant (~1.3x "
+                        "tpufpu at equal-or-better held-out quality)")
     p.add_argument("--features", default=None,
                    choices=["logmag_ipd", "physics"],
                    help="feature kind; defaults to what --model was "
@@ -148,7 +150,8 @@ def model_features(args) -> str:
     untrained weights — a round-2 review finding)."""
     if args.features is not None:
         return args.features
-    return "physics" if args.model in ("deepfpu", "tpufpu") else "logmag_ipd"
+    return ("physics" if args.model in ("deepfpu", "tpufpu", "tpufpu_slim")
+            else "logmag_ipd")
 
 
 def _load_model_variables(args, cfg):
@@ -193,6 +196,8 @@ def _load_model_variables(args, cfg):
         model = FreqPreservingUNet(quant=quant)
     elif args.model == "tpufpu":
         model = TPUFPU(base=64, fold=4, quant=quant)
+    elif args.model == "tpufpu_slim":
+        model = TPUFPU(base=64, fold=4, quant=quant, bneck=4)
     else:
         model = DeepFPU(quant=quant)
     n_ch = 2 if features == "logmag_ipd" else 4

@@ -31,6 +31,7 @@ __all__ = [
     "load_pretrained_fpu",
     "load_pretrained_deepfpu",
     "load_pretrained_tpufpu",
+    "load_pretrained_tpufpu_slim",
     "load_pretrained_fpu_reverb",
     "load_pretrained_fpu_multigeo",
     "load_pretrained_crn_causal",
@@ -69,10 +70,21 @@ _FPU_MULTIGEO_ARTIFACT = _ASSETS / "fpu_b32_multigeo_int8.npz"
 # fewer frequency rows, so every level fills the 128-lane MXU.
 _TPUFPU_ARTIFACT = _ASSETS / "tpufpu_b64_phy_int8.npz"
 
+# Slim-bottleneck serving flagship (round 3): same TPUFPU at bneck=4
+# (bottleneck 256 channels, 8.1M vs 15.9M params, -32% MACs). The
+# speed-of-light study showed the int8 net runs at the chip's matmul
+# ceiling, so this buys its ~1.3x net speedup with FLOPs, not kernels.
+# 20k steps, same recipe: held-out mask acc 0.852 (tpufpu: 0.849),
+# blind reverb SIR +21.44 +/- 0.59 vs +21.05 +/- 0.60, anechoic
+# +29.93 +/- 1.53 vs +30.60 +/- 1.84 (64 held-out scenes) — at or above
+# the full-width artifact on every measured facet.
+_TPUFPU_SLIM_ARTIFACT = _ASSETS / "tpufpu_b64s4_phy_int8.npz"
+
 _PATHS = {
     "fpu": _FPU_ARTIFACT,
     "deepfpu": _DEEPFPU_ARTIFACT,
     "tpufpu": _TPUFPU_ARTIFACT,
+    "tpufpu_slim": _TPUFPU_SLIM_ARTIFACT,
     "fpu_reverb": _FPU_REVERB_ARTIFACT,
     "fpu_multigeo": _FPU_MULTIGEO_ARTIFACT,
     "crn_causal": _CRN_CAUSAL_ARTIFACT,
@@ -96,6 +108,7 @@ _TRAIN_MIC_DIST = {
     "fpu_multigeo": None,
     "deepfpu": 0.04,
     "tpufpu": 0.04,
+    "tpufpu_slim": 0.04,
     "crn_causal": 0.04,
 }
 
@@ -203,6 +216,23 @@ def load_pretrained_tpufpu(quant: bool = False):
     return TPUFPU(base=64, fold=4, quant=quant), load_quantized(_TPUFPU_ARTIFACT)
 
 
+def load_pretrained_tpufpu_slim(quant: bool = False):
+    """Returns (model, variables) for the slim-bottleneck TPUFPU
+    (bneck=4) — the serving-latency flagship: ~1.3x tpufpu's net speed
+    at equal-or-better held-out quality (see the artifact note above)."""
+    from azoom.models.quantize import load_quantized
+    from azoom.models.unet import TPUFPU
+
+    if not _TPUFPU_SLIM_ARTIFACT.exists():
+        raise FileNotFoundError(
+            f"bundled artifact missing: {_TPUFPU_SLIM_ARTIFACT}"
+        )
+    return (
+        TPUFPU(base=64, fold=4, quant=quant, bneck=4),
+        load_quantized(_TPUFPU_SLIM_ARTIFACT),
+    )
+
+
 def load_bundled(name: str, quant: bool = False, fold_bn: bool = False):
     """One dispatcher for every bundled artifact (the single source of
     truth for model-name -> (loader, feature_kind); CLIs and the
@@ -228,6 +258,7 @@ def load_bundled(name: str, quant: bool = False, fold_bn: bool = False):
         "fpu_multigeo": (load_pretrained_fpu_multigeo, "logmag_ipd", True),
         "deepfpu": (load_pretrained_deepfpu, "physics", True),
         "tpufpu": (load_pretrained_tpufpu, "physics", True),
+        "tpufpu_slim": (load_pretrained_tpufpu_slim, "physics", True),
         "crn_causal": (load_pretrained_crn_causal, "logmag_ipd", False),
     }
     if name not in table:

@@ -47,10 +47,12 @@ class AudioZoom:
       enhance_fn: optional override (M, win) -> (win,); defaults to the
         blind autosteer pipeline under the current zoom state.
       model: optional bundled mask-net name ('fpu', 'fpu_reverb',
-        'fpu_multigeo', 'deepfpu', 'tpufpu', 'crn_causal') — routes
-        enhancement through the learned pipeline. 'tpufpu' is the
-        MXU-shaped serving flagship; use 'fpu_multigeo' for arrays whose
-        spacing differs from the 4 cm default.
+        'fpu_multigeo', 'deepfpu', 'tpufpu', 'tpufpu_slim',
+        'crn_causal') — routes enhancement through the learned pipeline.
+        'tpufpu_slim' is the serving flagship (slim-bottleneck, ~1.3x
+        tpufpu's speed at equal-or-better held-out quality); geometry
+        adaptation handles arrays smaller than the 4 cm training
+        spacing automatically.
       int8: serve the mask net on the int8-MXU path (calibrated static
         activation scales — the benchmarked flagship configuration;
         within ~0.2 dB blind SIR of float, 1.5x the throughput).

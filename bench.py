@@ -42,15 +42,18 @@ def main():
     cfg = PipelineConfig(mic_dist=0.04)
     fs = cfg.fs
 
-    # Flagship model at production size: TPUFPU (base=64, fold=4, 4-ch
-    # physics) — the MXU-shaped net (frequency space-to-depth stem; every
-    # conv level >= 64 channels on 4x fewer rows), 2.25x DeepFPU b32's
-    # speed at equal parameter count and held-out accuracy (0.846 vs
-    # 0.845 mask acc — RESULTS.md). quant=True = the int8 serving path
-    # with calibrated static act scales; blind SIR within 0.2 dB of float
-    # (tests/test_int8_inference.py). Upsampling, output head and all
+    # Flagship model at production size: slim TPUFPU (base=64, fold=4,
+    # bneck=4, 4-ch physics) — the MXU-shaped net (frequency
+    # space-to-depth stem; every conv level >= 64 channels on 4x fewer
+    # rows) with the round-3 slim bottleneck (256 channels: the
+    # speed-of-light study showed the int8 net runs at the chip's matmul
+    # ceiling, so the ~1.3x comes from -32% MACs; trained head-to-head it
+    # is at-or-above the full-width net on every held-out facet — mask
+    # acc 0.852 vs 0.849, blind reverb SIR +21.44 vs +21.05; bundled as
+    # tpufpu_b64s4_phy_int8.npz). quant=True = the int8 serving path with
+    # calibrated static act scales. Upsampling, output head and all
     # beamforming math stay bf16/f32.
-    model = TPUFPU(base=64, fold=4, dtype=jnp.bfloat16, quant=True)
+    model = TPUFPU(base=64, fold=4, dtype=jnp.bfloat16, quant=True, bneck=4)
     probe = synth_batch(jax.random.PRNGKey(0), 1, cfg, "physics", cfg.win_size)
     state = create_state(model, jax.random.PRNGKey(0), probe["features"].shape)
     variables = {"params": state.params, "batch_stats": state.batch_stats}

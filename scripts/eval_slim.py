@@ -63,10 +63,12 @@ def evaluate(name, model, variables):
     for tag, reverb in (("anechoic", False), ("reverb", True)):
         r = learned_sweep(
             jax.random.PRNGKey(42), cfg, model, variables,
-            n_scenes=16, reverb=reverb, feature_kind="physics",
+            n_scenes=64, reverb=reverb, feature_kind="physics",
             with_stoi=False,
         )
-        rows[tag] = float(jnp.mean(r["sir_imp"]))
+        imp = np.asarray(r["sir_imp"])
+        rows[tag] = float(imp.mean())
+        rows[tag + "_sem"] = float(imp.std() / np.sqrt(len(imp)))
 
     # net-only latency at serving batch
     rng = np.random.default_rng(0)
@@ -81,8 +83,10 @@ def evaluate(name, model, variables):
     float(jnp.sum(jnp.abs(loop(feats, variables))))
     dt = (time.perf_counter() - t0) / 20
 
-    print(f"{name:24s} acc={acc:.3f}  anechoic=+{rows['anechoic']:.2f} dB  "
-          f"reverb=+{rows['reverb']:.2f} dB  net={dt*1e3:.2f} ms", flush=True)
+    print(f"{name:24s} acc={acc:.3f}  "
+          f"anechoic=+{rows['anechoic']:.2f}±{rows['anechoic_sem']:.2f} dB  "
+          f"reverb=+{rows['reverb']:.2f}±{rows['reverb_sem']:.2f} dB  "
+          f"net={dt*1e3:.2f} ms", flush=True)
     return acc, rows, dt
 
 

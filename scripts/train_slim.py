@@ -12,7 +12,7 @@ cfg = PipelineConfig(mic_dist=0.04)
 res = fit(
     TPUFPU(base=64, fold=4, bneck=4),
     cfg,
-    n_steps=10_000,
+    n_steps=20_000,
     batch_size=8,
     feature_kind="physics",
     angle_jitter_deg=3.0,
