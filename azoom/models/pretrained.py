@@ -1,7 +1,7 @@
 """Bundled pretrained mask estimators.
 
 The reference ships its trained weights as git-LFS artifacts (which are
-missing from the snapshot — .MISSING_LARGE_BLOBS); azoom bundles six
+missing from the snapshot — .MISSING_LARGE_BLOBS); azoom bundles seven
 trained int8 artifacts, all trained on-device on synthesized scenes and
 carrying percentile-calibrated static activation scales for int8-MXU
 serving (see each `_*_ARTIFACT` note below for its recipe and measured
@@ -11,7 +11,9 @@ numbers):
   fpu_reverb    — room-scene-trained twin (reverb campaigns)
   fpu_multigeo  — spacing-robust fine-tune (real / mismatched arrays)
   deepfpu       — DeepFPU b32, physics 4-ch (the gen-4 twin)
-  tpufpu        — the MXU-shaped serving flagship (2.25x deepfpu)
+  tpufpu        — the MXU-shaped full-width net (2.25x deepfpu)
+  tpufpu_slim   — slim bottleneck (bneck=4): the serving flagship,
+                  ~1.3x tpufpu at equal-or-better held-out quality
   crn_causal    — causal CRN for the 32-64 ms online path
 
 ``load_bundled(name)`` is the single dispatcher the CLIs and the
