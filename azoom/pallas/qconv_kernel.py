@@ -192,7 +192,7 @@ def qconv3x3_pallas(
     ntot = xg.shape[1]
 
     # local slice starts within the (R + 2G)-row quantized window:
-    # guarded row = plane row + G, tap offset = dy*(T+2)+dx in [-G+2, G-2]
+    # guarded row = plane row + G, tap offset = dy*(T+2)+dx in [-G, G]
     offsets = tuple(
         G + dy * (T + 2) + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)
     )
