@@ -35,13 +35,21 @@ DYN_RANGE_DB = 40.0
 
 
 def _third_octave_matrix() -> np.ndarray:
-    """(N_BANDS, NFFT//2+1) binary band-membership matrix (host constant)."""
+    """(N_BANDS, NFFT//2+1) binary band-membership matrix (host constant).
+
+    Band edges use the nearest-FFT-bin convention (each edge frequency is
+    snapped to the closest bin index before thresholding) — the pystoi
+    convention the reference repo scores with, which differs from analytic
+    ``lo <= f < hi`` thresholds at bins that straddle an edge."""
     f = np.linspace(0, FS_STOI / 2, NFFT // 2 + 1)
     cf = MIN_FREQ * 2.0 ** (np.arange(N_BANDS) / 3.0)
     lo = cf / 2.0 ** (1.0 / 6.0)
     hi = cf * 2.0 ** (1.0 / 6.0)
-    H = ((f[None, :] >= lo[:, None]) & (f[None, :] < hi[:, None])).astype(np.float32)
-    return H
+    k = np.arange(NFFT // 2 + 1)
+    lo_idx = np.argmin((f[None, :] - lo[:, None]) ** 2, axis=1)
+    hi_idx = np.argmin((f[None, :] - hi[:, None]) ** 2, axis=1)
+    H = ((k[None, :] >= lo_idx[:, None]) & (k[None, :] < hi_idx[:, None]))
+    return H.astype(np.float32)
 
 
 _OCT = _third_octave_matrix()
@@ -94,13 +102,15 @@ def _frames(x: jnp.ndarray) -> jnp.ndarray:
 def stoi(clean: jnp.ndarray, degraded: jnp.ndarray, fs: int = 16_000) -> jnp.ndarray:
     """STOI score in (0, 1). clean/degraded: (n,) at sample rate fs.
 
-    Silent-frame removal keeps shapes static under jit by *compacting*
-    instead of dropping: a stable argsort moves active frames to the
-    front in their original order (exactly pystoi's frame list after
-    remove_silent_frames, up to the splice-boundary frames its
-    overlap-add re-framing mixes), and segments are scored only while
-    they fit inside the active prefix. Validated against an independent
-    NumPy re-derivation of Taal 2010 in tests/test_stoi_golden.py.
+    Silent-frame removal is pystoi's ``remove_silent_frames``, made
+    static-shape for jit: windowed frames whose clean energy is within
+    40 dB of the loudest are compacted to the front (stable argsort, the
+    rest zeroed), overlap-added back into a compacted time signal — so
+    splice-boundary frames mix exactly as pystoi's do — and the result
+    is re-framed; segments are scored only while they fit inside the
+    ``n_active`` re-framed frames that carry the compacted signal.
+    Validated against an independent NumPy re-derivation of Taal 2010 in
+    tests/test_stoi_golden.py.
     """
     from math import gcd
 
@@ -109,26 +119,37 @@ def stoi(clean: jnp.ndarray, degraded: jnp.ndarray, fs: int = 16_000) -> jnp.nda
     x = _poly_resample(clean.astype(jnp.float32), up, down)
     y = _poly_resample(degraded.astype(jnp.float32), up, down)
 
-    xf = _frames(x)  # (T, FRAME)
+    xf = _frames(x)  # (T, FRAME), windowed
     yf = _frames(y)
+    T = xf.shape[0]
 
     # Active-frame mask from the clean signal (40 dB dynamic range).
     energy_db = 20.0 * jnp.log10(jnp.linalg.norm(xf, axis=-1) + 1e-10)
     active = energy_db > (jnp.max(energy_db) - DYN_RANGE_DB)  # (T,)
+    n_active = jnp.sum(active)
+
+    # Compact active frames to the front (original order), zero the rest,
+    # and overlap-add into compacted time signals (static length: the
+    # tail past the active prefix stays zero and is never scored).
+    order = jnp.argsort(jnp.logical_not(active), stable=True)
+    valid = (jnp.arange(T) < n_active)[:, None].astype(xf.dtype)
+    xc = xf[order] * valid
+    yc = yf[order] * valid
+    ola_idx = jnp.arange(T)[:, None] * HOP + jnp.arange(FRAME)[None, :]
+    n_ola = (T - 1) * HOP + FRAME
+    xs = jnp.zeros(n_ola, xf.dtype).at[ola_idx].add(xc)
+    ys = jnp.zeros(n_ola, yf.dtype).at[ola_idx].add(yc)
+
+    # Re-frame the compacted signals (windowed again, as pystoi does);
+    # exactly the first n_active frames cover the compacted span.
+    xf = _frames(xs)  # (T, FRAME) again: (n_ola - FRAME) // HOP + 1 == T
+    yf = _frames(ys)
 
     X = jnp.abs(jnp.fft.rfft(xf, n=NFFT, axis=-1))  # (T, F)
     Yf = jnp.abs(jnp.fft.rfft(yf, n=NFFT, axis=-1))
     Hoct = jnp.asarray(_OCT)
     Xb = jnp.sqrt(jnp.einsum("bf,tf->tb", Hoct, X**2) + 1e-12)  # (T, B)
     Yb = jnp.sqrt(jnp.einsum("bf,tf->tb", Hoct, Yf**2) + 1e-12)
-
-    # Compact: active frames first, original order preserved.
-    order = jnp.argsort(jnp.logical_not(active), stable=True)
-    Xb = Xb[order]
-    Yb = Yb[order]
-    n_active = jnp.sum(active)
-
-    T = Xb.shape[0]
     n_seg = T - SEG + 1
     seg_idx = jnp.arange(n_seg)[:, None] + jnp.arange(SEG)[None, :]  # (S, SEG)
     Xs = Xb[seg_idx]  # (S, SEG, B)

@@ -349,6 +349,14 @@ class TPUFPU(nn.Module):
     level (5 convs at base*8 on T/8 frames) is 44 % of the net's MACs,
     and the round-2 capacity ablation (base=96: +0.003 acc) says
     capacity is saturated. bneck=4 cuts total MACs ~32 %.
+
+    ``dec_div`` divides the width of the non-final decoder levels (the
+    skip connections carry the full-width detail to the head, so the
+    decoder is a refiner, not the representation). After bneck=4 the MAC
+    center of gravity moves to the decoder (d3 31 % + d2 19 % of the
+    slim net); dec_div=2 runs d3 at 128 and d2 at 64 channels (every
+    conv still >= 64 lanes) and cuts the slim net's MACs a further 34 %.
+    Default 1 = every bundled artifact's tree.
     """
 
     base: int = 64
@@ -356,6 +364,7 @@ class TPUFPU(nn.Module):
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
     bneck: int = 8
+    dec_div: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -385,8 +394,8 @@ class TPUFPU(nn.Module):
             h = ConvBNRelu(feats, d, q)(h, train)
             return ResBlock(feats, d, q)(h, train)
 
-        h = dec_level(b, e3, self.base * 4)
-        h = dec_level(h, e2, self.base * 2)
+        h = dec_level(b, e3, self.base * 4 // self.dec_div)
+        h = dec_level(h, e2, self.base * 2 // self.dec_div)
         h = dec_level(h, e1, self.base, last=True)
 
         # Head: one mask lane per folded bin, then depth-to-space back.

@@ -48,7 +48,7 @@ def main():
     # rows) with the round-3 slim bottleneck (256 channels: the
     # speed-of-light study showed the int8 net runs at the chip's matmul
     # ceiling, so the ~1.3x comes from -32% MACs; trained head-to-head it
-    # is at-or-above the full-width net on every held-out facet — mask
+    # beats the full-width net on most held-out facets, ties within SEM on the rest — mask
     # acc 0.852 vs 0.849, blind reverb SIR +21.44 vs +21.05; bundled as
     # tpufpu_b64s4_phy_int8.npz). quant=True = the int8 serving path with
     # calibrated static act scales. Upsampling, output head and all

@@ -9,8 +9,8 @@ repo scores with (Final_pipeline/src/metrics.py:157, scripts/eval.py:19):
   * polyphase resample to 10 kHz (scipy.signal.resample_poly),
   * silent-frame removal with 40 dB dynamic range against the loudest
     clean frame, COMPACTING both signals by overlap-adding the retained
-    frames (this is the part azoom's jittable version approximates with
-    masked statistics),
+    frames (azoom's jittable version performs the same compaction with
+    static shapes: argsort-compact, zero the tail, scatter-add OLA),
   * 256-sample Hann frames, hop 128, 512-point FFT,
   * 15 one-third-octave bands from 150 Hz with nearest-bin edge mapping,
   * length-30 segments, per-segment normalization and -15 dB SDR clipping,

@@ -5,8 +5,14 @@ tests/stoi_reference.py — an independently structured NumPy transcription
 of the Taal 2010 algorithm with pystoi's conventions (polyphase resample,
 silent-frame compaction, nearest-bin third-octave edges) — across
 continuous noise, pause-heavy speech, and the reference repo's committed
-real-speech fixtures. Tolerance 0.02 per the verdict; measured agreement
-is <= 0.003 on every case.
+real-speech fixtures.
+
+Round 3 made azoom's silent-frame removal the exact pystoi procedure
+(overlap-add compaction + re-framing, nearest-bin band edges) instead of
+a masked-statistics approximation; measured agreement tightened from
+<= 0.003 to <= 1e-7 (float32 rounding) on every case, so the tolerance
+asserts 1e-5 — any structural divergence in either implementation now
+fails loudly instead of hiding inside a loose band.
 """
 
 from pathlib import Path
@@ -22,7 +28,7 @@ from azoom.eval.stoi import stoi
 from azoom.sim.signals import speech_like
 
 FS = 16_000
-TOL = 0.02
+TOL = 1e-5
 REF_INPUTS = Path("/root/reference/data/inputs")
 
 
