@@ -171,3 +171,29 @@ def test_tpufpu_bneck_variant():
     # identical tree structure (only the bottleneck widths differ)
     assert (jax.tree_util.tree_structure(v_slim)
             == jax.tree_util.tree_structure(v_def))
+
+
+def test_tpufpu_dec_div_variant():
+    """dec_div divides the non-final decoder widths only (half-decoder
+    serving study, round 3): dec_div=1 reproduces the bundled-artifact
+    tree exactly, dec_div=2 shrinks params but keeps output shape, and
+    the quant twin accepts the same variables."""
+    from azoom.models.unet import TPUFPU
+
+    x = jnp.zeros((1, 513, 16, 4))
+    full = TPUFPU(base=8, fold=4, bneck=4)
+    half = TPUFPU(base=8, fold=4, bneck=4, dec_div=2)
+    v_full = full.init(jax.random.PRNGKey(0), x)
+    v_half = half.init(jax.random.PRNGKey(0), x)
+    # same tree structure, fewer parameters
+    assert (jax.tree_util.tree_structure(v_full)
+            == jax.tree_util.tree_structure(v_half))
+    n_full = sum(p.size for p in jax.tree_util.tree_leaves(v_full["params"]))
+    n_half = sum(p.size for p in jax.tree_util.tree_leaves(v_half["params"]))
+    assert n_half < 0.85 * n_full
+    y = half.apply(v_half, x)
+    assert y.shape == (1, 513, 16)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    # int8 twin serves the same variables
+    y_q = TPUFPU(base=8, fold=4, bneck=4, dec_div=2, quant=True).apply(v_half, x)
+    assert float(jnp.max(jnp.abs(y - y_q))) < 0.1
