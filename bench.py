@@ -27,7 +27,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _wait_for_backend(max_wait_s: float = 600.0) -> None:
+    """Retry backend init: the axon TPU tunnel can be transiently
+    UNAVAILABLE (observed outages of minutes); don't lose the round's
+    benchmark to a flake. Gives up after ``max_wait_s`` and lets the
+    real error surface."""
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            jax.devices()
+            return
+        except Exception as e:  # backend setup errors are RuntimeError-ish
+            if time.monotonic() > deadline:
+                raise
+            print(f"# backend unavailable ({type(e).__name__}), retrying...",
+                  file=sys.stderr, flush=True)
+            time.sleep(30.0)
+
+
 def main():
+    _wait_for_backend()
     import azoom  # noqa: F401  (enables the persistent compile cache)
     from azoom.config import PipelineConfig
     from azoom.eval.projection import osinr_osir
