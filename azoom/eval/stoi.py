@@ -135,10 +135,17 @@ def stoi(clean: jnp.ndarray, degraded: jnp.ndarray, fs: int = 16_000) -> jnp.nda
     valid = (jnp.arange(T) < n_active)[:, None].astype(xf.dtype)
     xc = xf[order] * valid
     yc = yf[order] * valid
-    ola_idx = jnp.arange(T)[:, None] * HOP + jnp.arange(FRAME)[None, :]
-    n_ola = (T - 1) * HOP + FRAME
-    xs = jnp.zeros(n_ola, xf.dtype).at[ola_idx].add(xc)
-    ys = jnp.zeros(n_ola, yf.dtype).at[ola_idx].add(yc)
+
+    def _ola(fr):
+        # 50 % overlap (FRAME == 2*HOP): every output hop-block is the sum
+        # of one frame's second half and the next frame's first half —
+        # pure slices + one add, no scatter (TPU-friendly; scatter-add
+        # lowers poorly and this runs on device inside campaign sweeps).
+        mid = fr[:-1, HOP:] + fr[1:, :HOP]  # (T-1, HOP)
+        return jnp.concatenate([fr[0, :HOP], mid.reshape(-1), fr[-1, HOP:]])
+
+    xs = _ola(xc)  # ((T-1)*HOP + FRAME,)
+    ys = _ola(yc)
 
     # Re-frame the compacted signals (windowed again, as pystoi does);
     # exactly the first n_active frames cover the compacted span.
