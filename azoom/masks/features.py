@@ -36,10 +36,25 @@ def logmag_ipd_features(
     Y: jnp.ndarray, ipd_scale: float | jnp.ndarray = 1.0
 ) -> jnp.ndarray:
     """Stereo STFT (..., 2, F, T) -> features (..., F, T, 2):
-    [log|Y0|, IPD * ipd_scale]."""
+    [log|Y0|, IPD * ipd_scale].
+
+    ipd_scale == 1 keeps the training-time convention (raw angle
+    difference, range (-2pi, 2pi) — what every bundled 2-ch artifact was
+    trained on). ipd_scale != 1 is geometry adaptation: there the raw
+    difference is unusable (its +-2pi phase-straddle jitter would be
+    amplified by the scale into wild feature values), so the cue is the
+    principal-value IPD (angle of Y0*conj(Y1)) scaled and re-wrapped to
+    [-pi, pi) — exactly the principal-value IPD the training-spacing
+    array would have measured for the same source, below the actual
+    array's aliasing limit."""
     logmag = jnp.log(jnp.abs(Y[..., 0, :, :]) + _EPS)
-    ipd = jnp.angle(Y[..., 0, :, :]) - jnp.angle(Y[..., 1, :, :])
-    return jnp.stack([logmag, ipd * ipd_scale], axis=-1)
+    if isinstance(ipd_scale, (int, float)) and float(ipd_scale) == 1.0:
+        ipd = jnp.angle(Y[..., 0, :, :]) - jnp.angle(Y[..., 1, :, :])
+    else:
+        cross = Y[..., 0, :, :] * jnp.conj(Y[..., 1, :, :])
+        scaled = jnp.angle(cross + 1e-20) * ipd_scale
+        ipd = jnp.mod(scaled + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    return jnp.stack([logmag, ipd], axis=-1)
 
 
 def physics_aware_features(

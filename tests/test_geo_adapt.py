@@ -59,6 +59,31 @@ def test_scaled_small_array_matches_native_large_array():
         assert np.median(err) < 0.05, (ch, np.median(err))
 
 
+def test_scaled_logmag_ipd_matches_native_large_array():
+    """The 2-ch feature's scaled IPD must equal the principal-value IPD
+    the training-spacing array would measure (the raw angle difference
+    carries +-2pi phase-straddle jitter that a x4 scale would amplify —
+    the scaled path must not inherit it)."""
+    sc1, cfg = _scene(0.01)
+    sc4, _ = _scene(0.04)
+    Y1 = stft(sc1["mixture"], cfg.n_fft, cfg.hop)
+    Y4 = stft(sc4["mixture"], cfg.n_fft, cfg.hop)
+    f1 = np.asarray(logmag_ipd_features(Y1, ipd_scale=4.0))
+    f4 = np.asarray(logmag_ipd_features(Y4))
+    # Native features use the raw angle difference; wrap them to the
+    # principal value for a like-for-like comparison.
+    ipd4 = np.mod(f4[..., 1] + np.pi, 2 * np.pi) - np.pi
+    mag1, mag4 = f1[..., 0], f4[..., 0]
+    strong = (mag1 > np.percentile(mag1, 85)) & (mag4 > np.percentile(mag4, 85))
+    strong[275:, :] = False  # below the 4 cm aliasing limit (~4.3 kHz)
+    # circular distance (values straddling the wrap boundary differ by 2pi)
+    diff = np.abs(f1[..., 1][strong] - ipd4[strong])
+    err = np.minimum(diff, 2 * np.pi - diff)
+    assert np.median(err) < 0.05, np.median(err)
+    # and the scaled cue stays in principal range
+    assert float(np.abs(f1[..., 1]).max()) <= np.pi + 1e-6
+
+
 def test_geo_adapt_rule():
     from azoom.models.pretrained import geo_adapt_dist
 
