@@ -6,8 +6,11 @@ from azoom.beam.linalg2x2 import (
     solve_2x2_hermitian,
 )
 from azoom.beam.mvdr import apply_weights, masked_mvdr, mvdr_beamform, mvdr_weights
+from azoom.beam.wpd import masked_wpd, wpd_beamform
 
 __all__ = [
+    "masked_wpd",
+    "wpd_beamform",
     "masked_covariance",
     "recursive_covariance_update",
     "cond_2x2",

@@ -27,7 +27,8 @@ def build_parser():
                    help="serial per-scene file pipeline (reference semantics)")
     p.add_argument("--data-root", default="data")
     p.add_argument("--beamformer", default="oracle",
-                   choices=["oracle", "mvdr", "hard_null", "rmvb", "gev"])
+                   choices=["oracle", "mvdr", "hard_null", "rmvb", "wpd",
+                            "gev"])
     p.add_argument("--model", default="fpu",
                    choices=["fpu", "deepfpu", "tpufpu", "tpufpu_slim"],
                    help="mask net for learned beamformers (both modes); "
@@ -169,7 +170,7 @@ def run_vectorized(args):
                 "(mvdr/hard_null/rmvb), not the oracle sweep"
             )
         sweep_fn, sweep_args = oracle_sweep, (cfg,)
-    elif args.beamformer in ("mvdr", "hard_null", "rmvb"):
+    elif args.beamformer in ("mvdr", "hard_null", "rmvb", "wpd"):
         model, variables, feature_kind, geo = _load_sweep_model(args, cfg)
         sweep_fn, sweep_args = learned_sweep, (cfg, model, variables)
         common.update(

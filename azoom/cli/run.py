@@ -37,8 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--beamformer", default="oracle",
-        choices=["oracle", "mvdr", "hard_null", "rmvb", "gev", "maxsnr_fov",
-                 "autosteer", "online"],
+        choices=["oracle", "mvdr", "hard_null", "rmvb", "wpd", "gev",
+                 "maxsnr_fov", "autosteer", "online"],
         help="oracle = answer-key IBM (no model); gev = oracle-mask GEV; "
              "maxsnr_fov = blind FOV-constrained max-SNR; autosteer = blind "
              "localize-in-FOV + steered MVDR; online = causal CRN + "

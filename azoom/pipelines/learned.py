@@ -93,8 +93,11 @@ def learned_enhance(
 
     beamformer: 'mvdr' (tf_lite_version/inference.py batch_mvdr path),
     'hard_null' (Final_pipeline hybrid path, <200 Hz bypass + cond
-    fallback), or 'rmvb' (robust Capon — steering-corrected MVDR for
-    approximate look directions, azoom.beam.rmvb). Post-filter multiplies
+    fallback), 'rmvb' (robust Capon — steering-corrected MVDR for
+    approximate look directions, azoom.beam.rmvb), or 'wpd' (joint
+    dereverb + beamform convolutional filter, azoom.beam.wpd — the
+    one-solve replacement for the reference's WPE->MVDR cascade on
+    reverberant input). Post-filter multiplies
     by the predicted mask, floored
     (full inference.py:116) for 'mvdr', raw (Final inference.py:219) for
     'hard_null'. ``use_pallas`` routes the MVDR stage through the fused
@@ -158,6 +161,25 @@ def learned_enhance(
             Y, noise_mask, d, freqs,
             sigma=cfg.sigma, hp_cutoff_hz=cfg.hp_cutoff_hz,
         ) * jnp.maximum(tgt_mask, mask_floor)
+    elif beamformer == "wpd":
+        from azoom.beam.wpd import masked_wpd
+
+        d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics)
+        # Joint dereverb + beamform: the convolutional filter replaces the
+        # reference's WPE -> MVDR cascade (dereverb.py -> oracle_reverb.py)
+        # with one weighted solve; the FOV gate composes through the
+        # target-PSD weighting (gated bins count as noise).
+        # sigma here is trace-relative loading on the stacked covariance
+        # (wpd.py), a different animal from cfg.sigma's absolute-loading
+        # zoom knob — keep the module default.
+        S = masked_wpd(
+            Y,
+            1.0 - noise_mask,
+            d,
+            freqs,
+            hp_cutoff_hz=cfg.hp_cutoff_hz,
+            mask_floor=mask_floor,
+        )
     elif beamformer == "hard_null":
         d = steering_vector(
             freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics,
