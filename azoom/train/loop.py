@@ -131,6 +131,8 @@ def fit(
     remat: bool = False,
     log_every: int = 50,
     log_fn: Callable[[str], None] = print,
+    teacher_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    distill_alpha: float = 0.5,
 ) -> FitResult:
     """Train a mask estimator on on-the-fly synthesized scenes.
 
@@ -139,6 +141,14 @@ def fit(
     of real recordings — the reference's LJSpeech training path
     (model_training.py:141-148); scene mixing/features/labels still run
     on device via train.data.mix_batch.
+
+    ``teacher_fn`` enables knowledge distillation: a jitted
+    features -> mask-probabilities function (e.g. a larger bundled net);
+    the BCE target becomes the blend
+    (1 - distill_alpha) * oracle_IBM + distill_alpha * teacher(features),
+    i.e. standard soft-target cross-entropy distillation on top of the
+    hard labels. The oracle IBM stays in the mix so the student can
+    out-learn teacher errors.
 
     Fault-tolerant: with ``checkpoint_dir`` set, training resumes from the
     latest saved step after interruption (params + Adam moments + batch
@@ -212,7 +222,13 @@ def fit(
                 batch_key, batch_size, cfg, feature_kind, n_samples,
                 angle_jitter_deg=angle_jitter_deg, reverb=reverb
             )
-        state, loss = train_step(state, batch["features"], batch["label"])
+        label = batch["label"]
+        if teacher_fn is not None:
+            label = (
+                (1.0 - distill_alpha) * label
+                + distill_alpha * teacher_fn(batch["features"])
+            )
+        state, loss = train_step(state, batch["features"], label)
         if (i + 1) % log_every == 0 or i == start_step:
             losses.append((i + 1, float(loss)))
             log_fn(f"[TRAIN] step {i + 1}/{n_steps} bce={float(loss):.4f}")
