@@ -30,7 +30,8 @@ def build_parser():
                    choices=["oracle", "mvdr", "hard_null", "rmvb", "wpd",
                             "gev"])
     p.add_argument("--model", default="fpu",
-                   choices=["fpu", "deepfpu", "tpufpu", "tpufpu_slim"],
+                   choices=["fpu", "deepfpu", "tpufpu", "tpufpu_slim",
+                            "tpufpu_dslim"],
                    help="mask net for learned beamformers (both modes); "
                         "tpufpu = MXU-shaped flagship")
     p.add_argument("--ckpt", default=None)

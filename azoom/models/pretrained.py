@@ -1,7 +1,7 @@
 """Bundled pretrained mask estimators.
 
 The reference ships its trained weights as git-LFS artifacts (which are
-missing from the snapshot — .MISSING_LARGE_BLOBS); azoom bundles seven
+missing from the snapshot — .MISSING_LARGE_BLOBS); azoom bundles eight
 trained int8 artifacts, all trained on-device on synthesized scenes and
 carrying percentile-calibrated static activation scales for int8-MXU
 serving (see each `_*_ARTIFACT` note below for its recipe and measured
@@ -12,8 +12,11 @@ numbers):
   fpu_multigeo  — spacing-robust fine-tune (real / mismatched arrays)
   deepfpu       — DeepFPU b32, physics 4-ch (the gen-4 twin)
   tpufpu        — the MXU-shaped full-width net (2.25x deepfpu)
-  tpufpu_slim   — slim bottleneck (bneck=4): the serving flagship,
+  tpufpu_slim   — slim bottleneck (bneck=4): round-3 flagship,
                   ~1.3x tpufpu at equal-or-better held-out quality
+  tpufpu_dslim  — slim bottleneck + half-width decoder (dec_div=2),
+                  distilled from tpufpu_slim: the serving flagship,
+                  another 1.21x at matched synthetic quality
   crn_causal    — causal CRN for the 32-64 ms online path
 
 ``load_bundled(name)`` is the single dispatcher the CLIs and the
@@ -34,6 +37,7 @@ __all__ = [
     "load_pretrained_deepfpu",
     "load_pretrained_tpufpu",
     "load_pretrained_tpufpu_slim",
+    "load_pretrained_tpufpu_dslim",
     "load_pretrained_fpu_reverb",
     "load_pretrained_fpu_multigeo",
     "load_pretrained_crn_causal",
@@ -82,11 +86,24 @@ _TPUFPU_ARTIFACT = _ASSETS / "tpufpu_b64_phy_int8.npz"
 # the full-width artifact on every measured facet.
 _TPUFPU_SLIM_ARTIFACT = _ASSETS / "tpufpu_b64s4_phy_int8.npz"
 
+# Half-decoder slim serving flagship (round 3): bneck=4 + dec_div=2
+# (non-final decoder levels at half width; 25.6 vs 38.7 GMac per
+# 128-frame chunk, 1.21x net speed over tpufpu_slim). Fresh-trained this
+# cut cost -0.6 dB reverb / -2.1 dB anechoic; DISTILLED from tpufpu_slim
+# (10k steps on 0.5*IBM + 0.5*teacher soft targets, scripts/
+# train_dslim_distill.py) it matches or beats the teacher on every
+# synthetic facet (held-out acc 0.853, reverb +21.65 +/- 0.61 vs +21.45
+# +/- 0.59, anechoic +29.53 +/- 1.54 vs +29.91 +/- 1.51; interferer-kind
+# and steer-error facets all >= slim). The one measured give-back: the
+# real 1 cm fixture, geo-adapted int8 +23.64 vs slim's +24.66 dB.
+_TPUFPU_DSLIM_ARTIFACT = _ASSETS / "tpufpu_b64s4d2_phy_int8.npz"
+
 _PATHS = {
     "fpu": _FPU_ARTIFACT,
     "deepfpu": _DEEPFPU_ARTIFACT,
     "tpufpu": _TPUFPU_ARTIFACT,
     "tpufpu_slim": _TPUFPU_SLIM_ARTIFACT,
+    "tpufpu_dslim": _TPUFPU_DSLIM_ARTIFACT,
     "fpu_reverb": _FPU_REVERB_ARTIFACT,
     "fpu_multigeo": _FPU_MULTIGEO_ARTIFACT,
     "crn_causal": _CRN_CAUSAL_ARTIFACT,
@@ -111,6 +128,7 @@ _TRAIN_MIC_DIST = {
     "deepfpu": 0.04,
     "tpufpu": 0.04,
     "tpufpu_slim": 0.04,
+    "tpufpu_dslim": 0.04,
     "crn_causal": 0.04,
 }
 
@@ -235,6 +253,23 @@ def load_pretrained_tpufpu_slim(quant: bool = False):
     )
 
 
+def load_pretrained_tpufpu_dslim(quant: bool = False):
+    """Returns (model, variables) for the half-decoder slim TPUFPU
+    (bneck=4, dec_div=2), distilled from tpufpu_slim — the serving
+    throughput flagship (see the artifact note above)."""
+    from azoom.models.quantize import load_quantized
+    from azoom.models.unet import TPUFPU
+
+    if not _TPUFPU_DSLIM_ARTIFACT.exists():
+        raise FileNotFoundError(
+            f"bundled artifact missing: {_TPUFPU_DSLIM_ARTIFACT}"
+        )
+    return (
+        TPUFPU(base=64, fold=4, quant=quant, bneck=4, dec_div=2),
+        load_quantized(_TPUFPU_DSLIM_ARTIFACT),
+    )
+
+
 def load_bundled(name: str, quant: bool = False, fold_bn: bool = False):
     """One dispatcher for every bundled artifact (the single source of
     truth for model-name -> (loader, feature_kind); CLIs and the
@@ -261,6 +296,7 @@ def load_bundled(name: str, quant: bool = False, fold_bn: bool = False):
         "deepfpu": (load_pretrained_deepfpu, "physics", True),
         "tpufpu": (load_pretrained_tpufpu, "physics", True),
         "tpufpu_slim": (load_pretrained_tpufpu_slim, "physics", True),
+        "tpufpu_dslim": (load_pretrained_tpufpu_dslim, "physics", True),
         "crn_causal": (load_pretrained_crn_causal, "logmag_ipd", False),
     }
     if name not in table:

@@ -91,6 +91,9 @@ def main():
         candidates["learned FPU + RMVB"] = learned_enhance(
             mix, model, variables, cfg, beamformer="rmvb", feature_kind=kind
         )
+        candidates["learned FPU + WPD"] = learned_enhance(
+            mix, model, variables, cfg, beamformer="wpd", feature_kind=kind
+        )
     except FileNotFoundError:
         pass
     try:

@@ -1,5 +1,11 @@
 """Calibrate + quantize the half-decoder slim TPUFPU checkpoint into a
-bundled artifact (tpufpu_b64s4d2_phy_int8.npz)."""
+bundled artifact (tpufpu_b64s4d2_phy_int8.npz).
+
+Default source is the DISTILLED checkpoint (scripts/train_dslim_distill.py)
+— the fresh-trained dec_div=2 net loses ~0.6 dB reverb / ~2 dB anechoic,
+the distilled one matches the slim flagship (RESULTS.md round 3). Pass a
+checkpoint dir to override.
+"""
 import sys
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -11,12 +17,15 @@ from azoom.models.unet import TPUFPU
 from azoom.train.data import synth_batch
 from azoom.train.loop import create_state, restore_checkpoint
 
+ckpt_dir = (
+    sys.argv[1] if len(sys.argv) > 1
+    else "/root/repo/checkpoints/tpufpu_b64s4d2_distill"
+)
 cfg = PipelineConfig(mic_dist=0.04)
 probe = synth_batch(jax.random.PRNGKey(0), 1, cfg, "physics", cfg.win_size)
 template = create_state(TPUFPU(base=64, fold=4, bneck=4, dec_div=2),
                         jax.random.PRNGKey(0), probe["features"].shape)
-state, step = restore_checkpoint("/root/repo/checkpoints/tpufpu_b64s4d2_phy",
-                                 template)
+state, step = restore_checkpoint(ckpt_dir, template)
 print("checkpoint step:", step)
 v = {"params": state.params, "batch_stats": state.batch_stats}
 model_q = TPUFPU(base=64, fold=4, quant=True, bneck=4, dec_div=2)

@@ -109,3 +109,18 @@ def test_synth_batch_reverb_mode():
     # Reverb mixtures must differ from the anechoic ones for the same key.
     b0 = synth_batch(jax.random.PRNGKey(7), 2, CFG, n_samples=SMALL_N)
     assert not np.allclose(np.asarray(b["mixture"]), np.asarray(b0["mixture"]))
+
+
+def test_fit_distillation_blends_teacher_target():
+    """fit(teacher_fn=...) must train against the soft blend: with
+    alpha=1 and a constant-0.5 teacher the loss is BCE(pred, 0.5), which
+    for a fresh (near-0.5) net sits near ln(2) regardless of the oracle
+    labels."""
+    model = FreqPreservingUNet(base=2)
+    res = fit(
+        model, CFG, n_steps=2, batch_size=2, n_samples=SMALL_N,
+        teacher_fn=lambda f: jnp.full(f.shape[:-1], 0.5),
+        distill_alpha=1.0, log_every=1, log_fn=lambda s: None,
+    )
+    assert res.steps_run == 2
+    assert abs(res.losses[-1][1] - float(np.log(2.0))) < 0.05
