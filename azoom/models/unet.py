@@ -357,6 +357,13 @@ class TPUFPU(nn.Module):
     slim net); dec_div=2 runs d3 at 128 and d2 at 64 channels (every
     conv still >= 64 lanes) and cuts the slim net's MACs a further 34 %.
     Default 1 = every bundled artifact's tree.
+
+    ``enc_div`` divides the width of the non-first encoder levels (e2,
+    e3) the same way — after bneck=4 + dec_div=2 they are the remaining
+    MAC mass (~37 %). Unlike the decoder these ARE the representation
+    (and the skip sources), so this knob is the riskiest cut; enc_div=2
+    keeps every conv >= 64 lanes (e2 64, e3 128 channels).
+    Default 1 = every bundled artifact's tree.
     """
 
     base: int = 64
@@ -365,6 +372,7 @@ class TPUFPU(nn.Module):
     quant: bool = False
     bneck: int = 8
     dec_div: int = 1
+    enc_div: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -379,8 +387,8 @@ class TPUFPU(nn.Module):
             return ResBlock(feats, d, q)(h, train)
 
         e1 = enc_level(x, self.base, first=True)
-        e2 = enc_level(_pool_time(e1), self.base * 2)
-        e3 = enc_level(_pool_time(e2), self.base * 4)
+        e2 = enc_level(_pool_time(e1), self.base * 2 // self.enc_div)
+        e3 = enc_level(_pool_time(e2), self.base * 4 // self.enc_div)
 
         b = ConvBNRelu(self.base * self.bneck, d, q)(_pool_time(e3), train)
         b = ResBlock(self.base * self.bneck, d, q)(b, train)

@@ -197,3 +197,27 @@ def test_tpufpu_dec_div_variant():
     # int8 twin serves the same variables
     y_q = TPUFPU(base=8, fold=4, bneck=4, dec_div=2, quant=True).apply(v_half, x)
     assert float(jnp.max(jnp.abs(y - y_q))) < 0.1
+
+
+def test_tpufpu_enc_div_variant():
+    """enc_div divides the non-first encoder widths (e2, e3) — the
+    round-3 FLOP-cut study #3. Tree structure is unchanged (widths only),
+    params shrink, output shape and the int8 twin still work."""
+    from azoom.models.unet import TPUFPU
+
+    x = jnp.zeros((1, 513, 16, 4))
+    base_m = TPUFPU(base=8, fold=4, bneck=4, dec_div=2)
+    slim_m = TPUFPU(base=8, fold=4, bneck=4, dec_div=2, enc_div=2)
+    v_base = base_m.init(jax.random.PRNGKey(0), x)
+    v_slim = slim_m.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v_base)
+            == jax.tree_util.tree_structure(v_slim))
+    n_base = sum(p.size for p in jax.tree_util.tree_leaves(v_base["params"]))
+    n_slim = sum(p.size for p in jax.tree_util.tree_leaves(v_slim["params"]))
+    assert n_slim < 0.85 * n_base
+    y = slim_m.apply(v_slim, x)
+    assert y.shape == (1, 513, 16)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    y_q = TPUFPU(base=8, fold=4, bneck=4, dec_div=2, enc_div=2,
+                 quant=True).apply(v_slim, x)
+    assert float(jnp.max(jnp.abs(y - y_q))) < 0.1
