@@ -31,7 +31,7 @@ def build_parser():
                             "gev"])
     p.add_argument("--model", default="fpu",
                    choices=["fpu", "deepfpu", "tpufpu", "tpufpu_slim",
-                            "tpufpu_dslim"],
+                            "tpufpu_nano"],
                    help="mask net for learned beamformers (both modes); "
                         "tpufpu = MXU-shaped flagship")
     p.add_argument("--ckpt", default=None)
@@ -97,6 +97,12 @@ def _load_sweep_model(args, cfg):
             from azoom.models.unet import TPUFPU
 
             model = TPUFPU(base=64, fold=4, quant=quant, bneck=4)
+        elif args.model == "tpufpu_nano":
+            from azoom.models.unet import TPUFPU
+
+            model = TPUFPU(
+                base=64, fold=4, quant=quant, bneck=4, dec_div=2, enc_div=2
+            )
         else:
             model = DeepFPU(quant=quant)
         ckpt = Path(args.ckpt)

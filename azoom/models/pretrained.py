@@ -12,11 +12,13 @@ numbers):
   fpu_multigeo  — spacing-robust fine-tune (real / mismatched arrays)
   deepfpu       — DeepFPU b32, physics 4-ch (the gen-4 twin)
   tpufpu        — the MXU-shaped full-width net (2.25x deepfpu)
-  tpufpu_slim   — slim bottleneck (bneck=4): round-3 flagship,
+  tpufpu_slim   — slim bottleneck (bneck=4): the distillation teacher,
                   ~1.3x tpufpu at equal-or-better held-out quality
-  tpufpu_dslim  — slim bottleneck + half-width decoder (dec_div=2),
-                  distilled from tpufpu_slim: the serving flagship,
-                  another 1.21x at matched synthetic quality
+  tpufpu_nano   — slim bottleneck + half-width decoder AND encoder
+                  (dec_div=2, enc_div=2, 4.1M params), distilled from
+                  tpufpu_slim: the serving flagship, 1.76x the slim
+                  net's speed at matched-or-better quality everywhere
+                  (including the real 1 cm fixture)
   crn_causal    — causal CRN for the 32-64 ms online path
 
 ``load_bundled(name)`` is the single dispatcher the CLIs and the
@@ -37,7 +39,7 @@ __all__ = [
     "load_pretrained_deepfpu",
     "load_pretrained_tpufpu",
     "load_pretrained_tpufpu_slim",
-    "load_pretrained_tpufpu_dslim",
+    "load_pretrained_tpufpu_nano",
     "load_pretrained_fpu_reverb",
     "load_pretrained_fpu_multigeo",
     "load_pretrained_crn_causal",
@@ -86,24 +88,27 @@ _TPUFPU_ARTIFACT = _ASSETS / "tpufpu_b64_phy_int8.npz"
 # the full-width artifact on every measured facet.
 _TPUFPU_SLIM_ARTIFACT = _ASSETS / "tpufpu_b64s4_phy_int8.npz"
 
-# Half-decoder slim serving flagship (round 3): bneck=4 + dec_div=2
-# (non-final decoder levels at half width; 25.6 vs 38.7 GMac per
-# 128-frame chunk, 1.21x net speed over tpufpu_slim). Fresh-trained this
-# cut cost -0.6 dB reverb / -2.1 dB anechoic; DISTILLED from tpufpu_slim
-# (10k steps on 0.5*IBM + 0.5*teacher soft targets, scripts/
-# train_dslim_distill.py) it matches or beats the teacher on every
-# synthetic facet (held-out acc 0.853, reverb +21.65 +/- 0.61 vs +21.45
-# +/- 0.59, anechoic +29.53 +/- 1.54 vs +29.91 +/- 1.51; interferer-kind
-# and steer-error facets all >= slim). The one measured give-back: the
-# real 1 cm fixture, geo-adapted int8 +23.64 vs slim's +24.66 dB.
-_TPUFPU_DSLIM_ARTIFACT = _ASSETS / "tpufpu_b64s4d2_phy_int8.npz"
+# Nano serving flagship (round 3, the end of the FLOP-cut frontier):
+# bneck=4 + half-width decoder (dec_div=2) + half-width encoder
+# (enc_div=2) — 4.1M params, net 12.2 ms vs the slim teacher's 21.5 at
+# the bench shape (1.76x). Trained from scratch for 40k steps under
+# soft-target distillation from tpufpu_slim (0.5*IBM + 0.5*teacher,
+# scripts/train_eslim.py; at 20k steps the cut still cost -1.3 dB reverb
+# — the thinner net needs the doubled budget). Measured vs the teacher:
+# held-out acc 0.852 (= teacher), reverb +21.77 +/- 0.62 vs +21.45
+# +/- 0.59, anechoic +30.09 +/- 1.37 vs +29.91 +/- 1.51, every
+# interferer-kind and steer-error facet at or above, REAL 1 cm fixture
+# geo-adapted int8 +24.68 vs +24.66 dB (autosteered blind +24.63).
+# The intermediate dec_div=2-only study (artifact not bundled — strictly
+# dominated by this one) is recorded in RESULTS.md.
+_TPUFPU_NANO_ARTIFACT = _ASSETS / "tpufpu_b64s4d2e2_phy_int8.npz"
 
 _PATHS = {
     "fpu": _FPU_ARTIFACT,
     "deepfpu": _DEEPFPU_ARTIFACT,
     "tpufpu": _TPUFPU_ARTIFACT,
     "tpufpu_slim": _TPUFPU_SLIM_ARTIFACT,
-    "tpufpu_dslim": _TPUFPU_DSLIM_ARTIFACT,
+    "tpufpu_nano": _TPUFPU_NANO_ARTIFACT,
     "fpu_reverb": _FPU_REVERB_ARTIFACT,
     "fpu_multigeo": _FPU_MULTIGEO_ARTIFACT,
     "crn_causal": _CRN_CAUSAL_ARTIFACT,
@@ -128,7 +133,7 @@ _TRAIN_MIC_DIST = {
     "deepfpu": 0.04,
     "tpufpu": 0.04,
     "tpufpu_slim": 0.04,
-    "tpufpu_dslim": 0.04,
+    "tpufpu_nano": 0.04,
     "crn_causal": 0.04,
 }
 
@@ -253,20 +258,20 @@ def load_pretrained_tpufpu_slim(quant: bool = False):
     )
 
 
-def load_pretrained_tpufpu_dslim(quant: bool = False):
-    """Returns (model, variables) for the half-decoder slim TPUFPU
-    (bneck=4, dec_div=2), distilled from tpufpu_slim — the serving
+def load_pretrained_tpufpu_nano(quant: bool = False):
+    """Returns (model, variables) for the nano TPUFPU (bneck=4,
+    dec_div=2, enc_div=2), distilled from tpufpu_slim — the serving
     throughput flagship (see the artifact note above)."""
     from azoom.models.quantize import load_quantized
     from azoom.models.unet import TPUFPU
 
-    if not _TPUFPU_DSLIM_ARTIFACT.exists():
+    if not _TPUFPU_NANO_ARTIFACT.exists():
         raise FileNotFoundError(
-            f"bundled artifact missing: {_TPUFPU_DSLIM_ARTIFACT}"
+            f"bundled artifact missing: {_TPUFPU_NANO_ARTIFACT}"
         )
     return (
-        TPUFPU(base=64, fold=4, quant=quant, bneck=4, dec_div=2),
-        load_quantized(_TPUFPU_DSLIM_ARTIFACT),
+        TPUFPU(base=64, fold=4, quant=quant, bneck=4, dec_div=2, enc_div=2),
+        load_quantized(_TPUFPU_NANO_ARTIFACT),
     )
 
 
@@ -296,7 +301,7 @@ def load_bundled(name: str, quant: bool = False, fold_bn: bool = False):
         "deepfpu": (load_pretrained_deepfpu, "physics", True),
         "tpufpu": (load_pretrained_tpufpu, "physics", True),
         "tpufpu_slim": (load_pretrained_tpufpu_slim, "physics", True),
-        "tpufpu_dslim": (load_pretrained_tpufpu_dslim, "physics", True),
+        "tpufpu_nano": (load_pretrained_tpufpu_nano, "physics", True),
         "crn_causal": (load_pretrained_crn_causal, "logmag_ipd", False),
     }
     if name not in table:

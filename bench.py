@@ -61,22 +61,23 @@ def main():
     cfg = PipelineConfig(mic_dist=0.04)
     fs = cfg.fs
 
-    # Flagship model at production size: half-decoder slim TPUFPU
-    # (base=64, fold=4, bneck=4, dec_div=2, 4-ch physics) — the
-    # MXU-shaped net (frequency space-to-depth stem; every conv level
-    # >= 64 channels on 4x fewer rows) with the round-3 slim bottleneck
-    # (256 channels) and half-width non-final decoder levels. The
+    # Flagship model at production size: nano TPUFPU (base=64, fold=4,
+    # bneck=4, dec_div=2, enc_div=2, 4-ch physics) — the MXU-shaped net
+    # (frequency space-to-depth stem; every conv level >= 64 channels on
+    # 4x fewer rows) with the round-3 slim bottleneck (256 channels) and
+    # half-width non-final decoder AND encoder levels (4.1M params). The
     # speed-of-light study showed the int8 net runs at the chip's matmul
-    # ceiling, so every speedup here comes from MAC cuts (38.7 -> 25.6
-    # GMac per 128-frame chunk vs the bneck-only net). Quality at this
-    # architecture is held by distillation from the full slim net:
-    # matched-or-better on every synthetic facet (mask acc 0.853, blind
-    # reverb +21.65 vs +21.45; RESULTS.md round 3; bundled as
-    # tpufpu_b64s4d2_phy_int8.npz). quant=True = the int8 serving path
+    # ceiling, so every speedup here comes from MAC cuts. Quality at this
+    # architecture is held by 40k steps of distillation from the full
+    # slim net: matched-or-better on every measured facet including the
+    # real 1 cm fixture (mask acc 0.852, blind reverb +21.77 vs +21.45,
+    # real fixture +24.68 vs +24.66; RESULTS.md round 3; bundled as
+    # tpufpu_b64s4d2e2_phy_int8.npz). quant=True = the int8 serving path
     # with calibrated static act scales. Upsampling, output head and all
     # beamforming math stay bf16/f32.
     model = TPUFPU(
-        base=64, fold=4, dtype=jnp.bfloat16, quant=True, bneck=4, dec_div=2
+        base=64, fold=4, dtype=jnp.bfloat16, quant=True,
+        bneck=4, dec_div=2, enc_div=2,
     )
     probe = synth_batch(jax.random.PRNGKey(0), 1, cfg, "physics", cfg.win_size)
     state = create_state(model, jax.random.PRNGKey(0), probe["features"].shape)

@@ -1,11 +1,7 @@
-"""Calibrate + quantize the half-decoder slim TPUFPU checkpoint into a
-bundled artifact (tpufpu_b64s4d2_phy_int8.npz).
-
-Default source is the DISTILLED checkpoint (scripts/train_dslim_distill.py)
-— the fresh-trained dec_div=2 net loses ~0.6 dB reverb / ~2 dB anechoic,
-the distilled one matches the slim flagship (RESULTS.md round 3). Pass a
-checkpoint dir to override.
-"""
+"""Calibrate + quantize the nano TPUFPU checkpoint (bneck=4, dec_div=2,
+enc_div=2, distilled 40k steps from tpufpu_slim — scripts/train_eslim.py)
+into the bundled artifact tpufpu_b64s4d2e2_phy_int8.npz. Pass a
+checkpoint dir to override the default."""
 import sys
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -19,20 +15,20 @@ from azoom.train.loop import create_state, restore_checkpoint
 
 ckpt_dir = (
     sys.argv[1] if len(sys.argv) > 1
-    else "/root/repo/checkpoints/tpufpu_b64s4d2_distill"
+    else "/root/repo/checkpoints/tpufpu_b64s4d2e2_phy"
 )
 cfg = PipelineConfig(mic_dist=0.04)
 probe = synth_batch(jax.random.PRNGKey(0), 1, cfg, "physics", cfg.win_size)
-template = create_state(TPUFPU(base=64, fold=4, bneck=4, dec_div=2),
+template = create_state(TPUFPU(base=64, fold=4, bneck=4, dec_div=2, enc_div=2),
                         jax.random.PRNGKey(0), probe["features"].shape)
 state, step = restore_checkpoint(ckpt_dir, template)
 print("checkpoint step:", step)
 v = {"params": state.params, "batch_stats": state.batch_stats}
-model_q = TPUFPU(base=64, fold=4, quant=True, bneck=4, dec_div=2)
+model_q = TPUFPU(base=64, fold=4, quant=True, bneck=4, dec_div=2, enc_div=2)
 v = calibrate_act_scales(
     model_q, v,
     (synth_batch(jax.random.PRNGKey(1000 + i), 4, cfg, "physics",
                  cfg.win_size)["features"] for i in range(3)),
 )
-n = save_quantized("/root/repo/azoom/assets/tpufpu_b64s4d2_phy_int8.npz", v)
+n = save_quantized("/root/repo/azoom/assets/tpufpu_b64s4d2e2_phy_int8.npz", v)
 print(f"wrote {n/1e6:.1f} MB")

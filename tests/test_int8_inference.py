@@ -86,13 +86,13 @@ def test_bundled_artifacts_carry_act_scales():
         load_pretrained_deepfpu,
         load_pretrained_fpu,
         load_pretrained_tpufpu,
-        load_pretrained_tpufpu_dslim,
+        load_pretrained_tpufpu_nano,
         load_pretrained_tpufpu_slim,
     )
 
     for loader in (load_pretrained_fpu, load_pretrained_deepfpu,
                    load_pretrained_tpufpu, load_pretrained_tpufpu_slim,
-                   load_pretrained_tpufpu_dslim):
+                   load_pretrained_tpufpu_nano):
         _, variables = loader(quant=True)
         assert "quant_stats" in variables, loader.__name__
         scales = jax.tree_util.tree_leaves(variables["quant_stats"])

@@ -195,18 +195,17 @@ def test_tpufpu_slim_geo_adapted_on_real_speech(anechoic_3src):
     assert _imp(out, mix, tgt, itf) > 21.0
 
 
-def test_tpufpu_dslim_geo_adapted_on_real_speech(anechoic_3src):
-    """The half-decoder serving flagship (bneck=4, dec_div=2, distilled
-    from tpufpu_slim) on the real 1 cm array: measured +23.64 dB int8
-    geo-adapted (+23.59 fully-blind autosteered) — ~1 dB under the slim
-    teacher, the one facet where the decoder cut shows, still far above
-    the dedicated spacing fine-tune (+19.0)."""
+def test_tpufpu_nano_geo_adapted_on_real_speech(anechoic_3src):
+    """The nano serving flagship (bneck=4, dec_div=2, enc_div=2, 40k-step
+    distillation from tpufpu_slim) on the real 1 cm array: measured
+    +24.68 dB int8 geo-adapted (+24.63 fully-blind autosteered) —
+    matching the slim teacher's best at 1.76x its net speed."""
     from azoom.models.pretrained import load_bundled
     from azoom.pipelines.learned import learned_enhance
 
     mix, tgt, itf = anechoic_3src
-    net, variables, feats = load_bundled("tpufpu_dslim", quant=True)
+    net, variables, feats = load_bundled("tpufpu_nano", quant=True)
     out = learned_enhance(
         mix, net, variables, CFG, feature_kind=feats, train_mic_dist=0.04
     )
-    assert _imp(out, mix, tgt, itf) > 20.0
+    assert _imp(out, mix, tgt, itf) > 21.0
