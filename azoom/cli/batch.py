@@ -53,6 +53,10 @@ def build_parser():
                         "— models camera pointing error; scenes keep the "
                         "true target angle")
     p.add_argument("--duration", type=float, default=2.0)
+    p.add_argument("--snr", type=float, default=50.0,
+                   help="AWGN sensor-noise SNR in dB (the reference's "
+                        "world.py --snr axis; its batch driver pins 50 = "
+                        "effectively noiseless)")
     p.add_argument("--mic-dist", type=float, default=0.04,
                    help="mic spacing in meters for vectorized sweeps; "
                         "bundled nets geometry-adapt automatically when "
@@ -169,6 +173,7 @@ def run_vectorized(args):
         with_waveforms=not args.no_pesq,
         interferer_kind=args.interferer_kind,
         room=room,
+        snr_db=args.snr,
     )
     if args.beamformer == "oracle":
         if args.steer_error:

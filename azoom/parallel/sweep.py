@@ -97,9 +97,12 @@ def _scene_from_key(
     randomize: bool,
     room: RoomConfig,
     interferer_kind: str = "speech",
+    snr_db: float = 50.0,
 ) -> dict:
-    """One scene (mixture + answer-key stems) from one PRNG key."""
-    k_sig, k_geo = jax.random.split(k)
+    """One scene (mixture + answer-key stems) from one PRNG key.
+    ``snr_db`` controls the AWGN sensor-noise floor (world.py:93-98 /
+    simulation.py:47-56 semantics; the reference's batch driver pins 50)."""
+    k_sig, k_geo, k_awgn = jax.random.split(k, 3)
     sigs = _synth_sources(
         k_sig, n_interferers + 1, n_samples, cfg.fs, interferer_kind
     )
@@ -107,7 +110,8 @@ def _scene_from_key(
         # Room mode randomizes interferer placement internally for the
         # 2nd+ interferer (simulation.py:126-134 semantics).
         return simulate_room_scene(
-            k_geo, sigs[0], sigs[1:], room, reverb=True, fs=cfg.fs
+            k_geo, sigs[0], sigs[1:], room, reverb=True, fs=cfg.fs,
+            snr_db=snr_db,
         )
     if randomize:
         angles = _random_interferer_angles(
@@ -120,9 +124,19 @@ def _scene_from_key(
                 f"interferers (got {n_interferers}); use randomize=True"
             )
         angles = jnp.asarray(_FIXED_ANGLES[:n_interferers])
-    return make_scene(
+    sc = make_scene(
         sigs[0], sigs[1:], cfg.angle_target_deg, angles, cfg.mic_dist, cfg.fs
     )
+    if snr_db < 50.0:  # 50 = the reference's effectively-noiseless default
+        from azoom.sim.scene import add_awgn
+
+        k0, k1 = jax.random.split(k_awgn)
+        sc = dict(sc)
+        sc["mixture"] = jnp.stack([
+            add_awgn(k0, sc["mixture"][0], snr_db),
+            add_awgn(k1, sc["mixture"][1], snr_db),
+        ])
+    return sc
 
 
 def _score(out: jnp.ndarray, sc: dict, cfg: PipelineConfig, with_stoi: bool) -> dict:
@@ -149,6 +163,7 @@ def _score(out: jnp.ndarray, sc: dict, cfg: PipelineConfig, with_stoi: bool) -> 
     static_argnames=(
         "cfg", "n_scenes", "n_samples", "with_stoi", "n_interferers",
         "reverb", "randomize", "room", "with_waveforms", "interferer_kind",
+        "snr_db",
     ),
 )
 def oracle_sweep(
@@ -163,6 +178,7 @@ def oracle_sweep(
     room: RoomConfig = ROOM_DEFAULT,
     with_waveforms: bool = False,
     interferer_kind: str = "speech",
+    snr_db: float = 50.0,
 ) -> dict:
     """Generate + enhance + score n_scenes oracle runs in one program.
 
@@ -177,7 +193,7 @@ def oracle_sweep(
     def one(k):
         sc = _scene_from_key(
             k, cfg, n_samples, n_interferers, reverb, randomize, room,
-            interferer_kind,
+            interferer_kind, snr_db,
         )
         out = oracle_enhance(
             sc["mixture"], sc["target_ref"], sc["interference_ref"], cfg
@@ -197,7 +213,7 @@ def oracle_sweep(
         "cfg", "model", "n_scenes", "n_samples", "with_stoi", "n_interferers",
         "reverb", "randomize", "room", "beamformer", "feature_kind",
         "with_waveforms", "steer_error_deg", "interferer_kind",
-        "train_mic_dist",
+        "train_mic_dist", "snr_db",
     ),
 )
 def learned_sweep(
@@ -218,6 +234,7 @@ def learned_sweep(
     steer_error_deg: float = 0.0,
     interferer_kind: str = "speech",
     train_mic_dist: float | None = None,
+    snr_db: float = 50.0,
 ) -> dict:
     """Blind learned-mask campaign sweep: synth scenes (reverb by default,
     mirroring batch_run.py:23-29's RT60=0.5 / 2-interferer config), enhance
@@ -240,7 +257,7 @@ def learned_sweep(
     def one(k):
         sc = _scene_from_key(
             k, cfg, n_samples, n_interferers, reverb, randomize, room,
-            interferer_kind,
+            interferer_kind, snr_db,
         )
         out = learned_enhance(
             sc["mixture"], model, variables, enh_cfg,

@@ -127,3 +127,29 @@ def test_learned_sweep_reverb_blind(devices8):
     s = sweep_summary(res)
     assert s["sir_imp"]["n_failed"] == 0
     assert s["sir_imp"]["mean"] > 3.0, s["sir_imp"]
+
+
+def test_learned_sweep_snr_axis():
+    """The AWGN sensor-noise axis (the reference's world.py --snr knob):
+    scenes at a low SNR must still sweep with zero failures and score
+    strictly worse than the near-noiseless default (measured on the nano
+    flagship: reverb +21.4 at SNR 50 -> +16.0 at SNR 5, anechoic +30.4
+    -> +7.3, no failed scenes at any point)."""
+    from azoom.models.pretrained import load_pretrained_fpu
+    from azoom.parallel.sweep import learned_sweep
+
+    model, variables = load_pretrained_fpu()
+    cfg = PipelineConfig(mic_dist=0.04)
+    clean = learned_sweep(
+        jax.random.PRNGKey(3), cfg, model, variables, n_scenes=4,
+        n_samples=8_192, reverb=False, snr_db=50.0, with_stoi=False,
+    )
+    noisy = learned_sweep(
+        jax.random.PRNGKey(3), cfg, model, variables, n_scenes=4,
+        n_samples=8_192, reverb=False, snr_db=5.0, with_stoi=False,
+    )
+    import numpy as np
+
+    ic, inz = np.asarray(clean["sir_imp"]), np.asarray(noisy["sir_imp"])
+    assert np.isfinite(ic).all() and np.isfinite(inz).all()
+    assert inz.mean() < ic.mean()
