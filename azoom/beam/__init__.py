@@ -6,11 +6,14 @@ from azoom.beam.linalg2x2 import (
     solve_2x2_hermitian,
 )
 from azoom.beam.mvdr import apply_weights, masked_mvdr, mvdr_beamform, mvdr_weights
+from azoom.beam.rtf import rtf_from_covariances, rtf_mvdr_beamform
 from azoom.beam.wpd import masked_wpd, wpd_beamform
 
 __all__ = [
     "masked_wpd",
     "wpd_beamform",
+    "rtf_from_covariances",
+    "rtf_mvdr_beamform",
     "masked_covariance",
     "recursive_covariance_update",
     "cond_2x2",

@@ -28,7 +28,7 @@ def build_parser():
     p.add_argument("--data-root", default="data")
     p.add_argument("--beamformer", default="oracle",
                    choices=["oracle", "mvdr", "hard_null", "rmvb", "wpd",
-                            "gev"])
+                            "rtf", "gev"])
     p.add_argument("--model", default="fpu",
                    choices=["fpu", "deepfpu", "tpufpu", "tpufpu_slim",
                             "tpufpu_nano"],
@@ -182,7 +182,7 @@ def run_vectorized(args):
                 "(mvdr/hard_null/rmvb), not the oracle sweep"
             )
         sweep_fn, sweep_args = oracle_sweep, (cfg,)
-    elif args.beamformer in ("mvdr", "hard_null", "rmvb", "wpd"):
+    elif args.beamformer in ("mvdr", "hard_null", "rmvb", "wpd", "rtf"):
         model, variables, feature_kind, geo = _load_sweep_model(args, cfg)
         sweep_fn, sweep_args = learned_sweep, (cfg, model, variables)
         common.update(

@@ -37,14 +37,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--beamformer", default="oracle",
-        choices=["oracle", "mvdr", "hard_null", "rmvb", "wpd", "gev",
+        choices=["oracle", "mvdr", "hard_null", "rmvb", "wpd", "rtf", "gev",
                  "maxsnr_fov", "autosteer", "online"],
         help="oracle = answer-key IBM (no model); gev = oracle-mask GEV; "
              "maxsnr_fov = blind FOV-constrained max-SNR; autosteer = blind "
              "localize-in-FOV + steered MVDR; online = causal CRN + "
              "recursive MVDR (32 ms latency); mvdr/hard_null/rmvb use the "
              "learned mask (--ckpt or bundled artifact; rmvb = robust "
-             "Capon, tolerant of approximate look directions)",
+             "Capon, tolerant of approximate look directions; rtf = "
+             "geometry-free MVDR steered by the measured relative "
+             "transfer function instead of the plane-wave model)",
     )
     p.add_argument("--fov", type=float, default=None,
                    help="field-of-view width (deg); default 10 for "
@@ -61,11 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "same checkpoint, ~1.5x faster on v5e, blind SIR "
                         "within 0.2 dB of float — see RESULTS.md)")
     p.add_argument("--model", default="fpu",
-                   choices=["fpu", "deepfpu", "tpufpu", "tpufpu_slim"],
+                   choices=["fpu", "deepfpu", "tpufpu", "tpufpu_slim",
+                            "tpufpu_nano"],
                    help="mask net; tpufpu = the MXU-shaped flagship "
                         "(physics features, 2.25x deepfpu's speed); "
                         "tpufpu_slim = bneck=4 serving variant (~1.3x "
-                        "tpufpu at equal-or-better held-out quality)")
+                        "tpufpu at equal-or-better held-out quality); "
+                        "tpufpu_nano = distilled half-width serving "
+                        "flagship (1.76x slim, same quality)")
     p.add_argument("--features", default=None,
                    choices=["logmag_ipd", "physics"],
                    help="feature kind; defaults to what --model was "
@@ -150,8 +155,7 @@ def model_features(args) -> str:
     untrained weights — a round-2 review finding)."""
     if args.features is not None:
         return args.features
-    return ("physics" if args.model in ("deepfpu", "tpufpu", "tpufpu_slim")
-            else "logmag_ipd")
+    return ("logmag_ipd" if args.model == "fpu" else "physics")
 
 
 def _load_model_variables(args, cfg):

@@ -161,6 +161,25 @@ def learned_enhance(
             Y, noise_mask, d, freqs,
             sigma=cfg.sigma, hp_cutoff_hz=cfg.hp_cutoff_hz,
         ) * jnp.maximum(tgt_mask, mask_floor)
+    elif beamformer == "rtf":
+        from azoom.beam.rtf import rtf_mvdr_beamform
+
+        # Geometry-free steering: the covariance-whitened RTF estimate
+        # replaces the plane-wave model; the geometric d only serves as
+        # the low-confidence fallback, so 'rtf' tolerates wrong mic_dist /
+        # look angles AND reverberant transfer functions the anechoic
+        # model can't describe (azoom.beam.rtf).
+        d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics)
+        S = rtf_mvdr_beamform(
+            Y,
+            noise_mask,
+            freqs,
+            target_mask=tgt_mask,
+            d_fallback=d,
+            sigma=cfg.sigma,
+            hp_cutoff_hz=cfg.hp_cutoff_hz,
+            mask_floor=mask_floor,
+        )
     elif beamformer == "wpd":
         from azoom.beam.wpd import masked_wpd
 
