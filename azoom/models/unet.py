@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 __all__ = [
     "FreqPreservingUNet", "DeepFPU", "TPUFPU", "QConv", "pad_frames",
-    "time_pool_factor", "fold_freq", "unfold_freq",
+    "time_pool_factor", "fold_freq", "unfold_freq", "fold_time",
+    "unfold_time",
 ]
 
 
@@ -63,6 +64,33 @@ def unfold_freq(y: jnp.ndarray, fold: int, n_freqs: int) -> jnp.ndarray:
     y = jnp.moveaxis(y, -1, -2)  # (..., Fp, fold, T)
     y = y.reshape(y.shape[:-3] + (y.shape[-3] * fold, y.shape[-1]))
     return y[..., :n_freqs, :]
+
+
+def fold_time(x: jnp.ndarray, tfold: int) -> jnp.ndarray:
+    """Space-to-depth on the time axis: (..., T, C) ->
+    (..., ceil(T/tfold), tfold*C), zero-padding T up to a multiple of
+    ``tfold``. Frame t of the input lands in folded row t//tfold,
+    channel group t%tfold — :func:`unfold_time` is the exact inverse."""
+    t = x.shape[-2]
+    pad_t = (-t) % tfold
+    if pad_t:
+        widths = [(0, 0)] * x.ndim
+        widths[-2] = (0, pad_t)
+        x = jnp.pad(x, widths)
+    shape = x.shape
+    tp = shape[-2] // tfold
+    x = x.reshape(shape[:-2] + (tp, tfold, shape[-1]))
+    return x.reshape(shape[:-2] + (tp, tfold * shape[-1]))
+
+
+def unfold_time(y: jnp.ndarray, tfold: int, n_frames: int) -> jnp.ndarray:
+    """Depth-to-space inverse of :func:`fold_time`:
+    (..., Tp, tfold*C) -> (..., min(Tp*tfold, n_frames), C)."""
+    tp, ch = y.shape[-2], y.shape[-1]
+    c = ch // tfold
+    y = y.reshape(y.shape[:-1] + (tfold, c))
+    y = y.reshape(y.shape[:-3] + (tp * tfold, c))
+    return y[..., :n_frames, :]
 
 
 class QConv(nn.Module):
@@ -364,6 +392,20 @@ class TPUFPU(nn.Module):
     (and the skip sources), so this knob is the riskiest cut; enc_div=2
     keeps every conv >= 64 lanes (e2 64, e3 128 channels).
     Default 1 = every bundled artifact's tree.
+
+    ``tfold`` space-to-depths the TIME axis at the stem the same way
+    ``fold`` does frequency ((..., Fp, T, C) -> (..., Fp, T/tfold,
+    tfold*C)); the head predicts ``fold*tfold`` fresh mask lanes per grid
+    position, so mask resolution on BOTH axes is fully preserved — only
+    the conv grid is coarser. After the width knobs above, the remaining
+    MAC mass is roughly uniform across levels, so tfold=2 halves every
+    level's rows (~1.8x MAC cut; the stem conv is cin-compensated).
+    Masks are far smoother in time (phoneme rate, ~50-100 ms) than in
+    frequency (harmonic structure — where fold=8 cost 1.45 dB), so time
+    is the cheaper axis to coarsen: at hop=512 a tfold=2 grid cell is
+    64 ms. Contract with tfold=2: T % 16 == 0, which the universal
+    pad_frames multiple of 16 already guarantees.
+    Default 1 = every bundled artifact's tree through tpufpu_nano.
     """
 
     base: int = 64
@@ -373,12 +415,16 @@ class TPUFPU(nn.Module):
     bneck: int = 8
     dec_div: int = 1
     enc_div: int = 1
+    tfold: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d, q, fold = self.dtype, self.quant, self.fold
         F = x.shape[-3]
+        T = x.shape[-2]
         x = fold_freq(x, fold).astype(d)
+        if self.tfold > 1:
+            x = fold_time(x, self.tfold)
 
         def enc_level(h, feats, first=False):
             if first:
@@ -406,6 +452,11 @@ class TPUFPU(nn.Module):
         h = dec_level(h, e2, self.base * 2 // self.dec_div)
         h = dec_level(h, e1, self.base, last=True)
 
-        # Head: one mask lane per folded bin, then depth-to-space back.
-        out = nn.Conv(fold, (1, 1), dtype=jnp.float32)(h.astype(jnp.float32))
+        # Head: one mask lane per folded (bin, frame), depth-to-space back.
+        out = nn.Conv(fold * self.tfold, (1, 1), dtype=jnp.float32)(
+            h.astype(jnp.float32))
+        if self.tfold > 1:
+            # (..., Fp, Tp, tfold*fold) -> (..., Fp, T, fold): lane
+            # layout (tfold, fold), time-major — unfold time first.
+            out = unfold_time(out, self.tfold, T)
         return nn.sigmoid(unfold_freq(out, fold, F))

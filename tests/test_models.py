@@ -221,3 +221,55 @@ def test_tpufpu_enc_div_variant():
     y_q = TPUFPU(base=8, fold=4, bneck=4, dec_div=2, enc_div=2,
                  quant=True).apply(v_slim, x)
     assert float(jnp.max(jnp.abs(y - y_q))) < 0.1
+
+
+def test_fold_time_exact_inverse():
+    """fold_time/unfold_time (the TPUFPU tfold stem/head reshapes) must
+    be an exact index-preserving round trip: input frame t maps to folded
+    row t//tfold, channel group t%tfold, and back — including the
+    pad+crop for T not divisible by tfold."""
+    from azoom.models.unet import fold_time, unfold_time
+
+    rng = np.random.default_rng(0)
+    for T, tf in ((16, 2), (30, 4), (12, 3)):
+        x = jnp.asarray(rng.standard_normal((2, 5, T, 3)), jnp.float32)
+        folded = fold_time(x, tf)  # (2, 5, ceil(T/tf), tf*3)
+        assert folded.shape == (2, 5, -(-T // tf), tf * 3)
+        back = unfold_time(folded, tf, T)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+        # Index map: frame t, channel c == folded[t//tf, (t%tf)*3 + c].
+        for t in (0, 1, tf - 1, T - 1):
+            np.testing.assert_array_equal(
+                np.asarray(folded[:, :, t // tf, (t % tf) * 3:(t % tf) * 3 + 3]),
+                np.asarray(x[:, :, t, :]),
+            )
+
+
+def test_tpufpu_tfold_variant():
+    """tfold space-to-depths the time axis at the stem (round-3 FLOP-cut
+    study #4, the pico net): tfold=1 reproduces the bundled-artifact tree
+    exactly, tfold=2 keeps the (B, F, T) output contract (mask resolution
+    preserved through head lanes) with T % 16 == 0 — the universal
+    pad_frames multiple — and the int8 twin serves the same variables."""
+    from azoom.models.unet import TPUFPU
+
+    x = jnp.zeros((1, 513, 16, 4))
+    nano = TPUFPU(base=8, fold=4, bneck=4, dec_div=2, enc_div=2)
+    pico = TPUFPU(base=8, fold=4, bneck=4, dec_div=2, enc_div=2, tfold=2)
+    v_nano = nano.init(jax.random.PRNGKey(0), x)
+    v_pico = pico.init(jax.random.PRNGKey(0), x)
+    # same tree structure: only the stem cin and head lanes change
+    assert (jax.tree_util.tree_structure(v_nano)
+            == jax.tree_util.tree_structure(v_pico))
+    y = pico.apply(v_pico, x)
+    assert y.shape == (1, 513, 16)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    assert float(jnp.min(y)) >= 0.0 and float(jnp.max(y)) <= 1.0
+    # head predicts fold*tfold lanes
+    assert v_pico["params"]["Conv_0"]["kernel"].shape[-1] == 8
+    y_q = TPUFPU(base=8, fold=4, bneck=4, dec_div=2, enc_div=2, tfold=2,
+                 quant=True).apply(v_pico, x)
+    assert float(jnp.max(jnp.abs(y - y_q))) < 0.1
+    # a longer input still round-trips through the internal time fold
+    x32 = jnp.zeros((1, 513, 32, 4))
+    assert pico.apply(v_pico, x32).shape == (1, 513, 32)
