@@ -144,12 +144,30 @@ def _use_matmul_dft(n_fft: int) -> bool:
     return jax.default_backend() == "tpu" and n_fft <= 2048
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop"))
-def stft(x: jnp.ndarray, n_fft: int = 1024, hop: int = 512) -> jnp.ndarray:
+_DFT_PRECISION = {
+    "exact": jax.lax.Precision.HIGHEST,  # 6-pass bf16 ~ true f32
+    "fast": jax.lax.Precision.DEFAULT,   # 1-pass bf16: 1.8x the matmul
+}
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "precision"))
+def stft(
+    x: jnp.ndarray, n_fft: int = 1024, hop: int = 512,
+    precision: str = "exact",
+) -> jnp.ndarray:
     """One-sided STFT of x (..., samples) -> complex (..., n_freqs, n_frames).
 
     Matches ``scipy.signal.stft(x, nperseg=n_fft, noverlap=n_fft - hop)[2]``.
+
+    ``precision`` applies to the TPU matmul-DFT path only: 'exact'
+    (default, rel err ~1e-7 vs float64) or 'fast' (single-pass bf16 MXU,
+    1.8x the matmul speed at rel err ~2e-3 — a ~-54 dB error floor, far
+    below the SIR regimes the pipelines operate in; the serving pipeline
+    opts in via learned_enhance(dsp_precision='fast')).
     """
+    if precision not in _DFT_PRECISION:
+        raise ValueError(f"precision must be one of "
+                         f"{sorted(_DFT_PRECISION)}, got {precision!r}")
     pad = n_fft // 2
     n_ext = x.shape[-1] + 2 * pad
     n_add = (-(n_ext - n_fft)) % hop
@@ -158,7 +176,7 @@ def stft(x: jnp.ndarray, n_fft: int = 1024, hop: int = 512) -> jnp.ndarray:
     frames = _frame(x, n_fft, hop)  # (..., T, n_fft)
     if _use_matmul_dft(n_fft):
         cmat, smat = _dft_windowed(n_fft)
-        hi = jax.lax.Precision.HIGHEST
+        hi = _DFT_PRECISION[precision]
         spec = jax.lax.complex(
             jnp.matmul(frames, jnp.asarray(cmat), precision=hi),
             jnp.matmul(frames, jnp.asarray(smat), precision=hi),
@@ -169,21 +187,27 @@ def stft(x: jnp.ndarray, n_fft: int = 1024, hop: int = 512) -> jnp.ndarray:
     return jnp.swapaxes(spec, -1, -2)  # (..., F, T)
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "length"))
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop", "length", "precision")
+)
 def istft(
-    Z: jnp.ndarray, n_fft: int = 1024, hop: int = 512, length: int | None = None
+    Z: jnp.ndarray, n_fft: int = 1024, hop: int = 512,
+    length: int | None = None, precision: str = "exact",
 ) -> jnp.ndarray:
     """Inverse STFT of Z (..., n_freqs, n_frames) -> real (..., samples).
 
     Matches ``scipy.signal.istft(Z, nperseg=n_fft, noverlap=n_fft - hop)[1]``
     (boundary trim included). ``length`` optionally crops/pads the output to
-    an exact sample count.
+    an exact sample count. ``precision``: see :func:`stft`.
     """
+    if precision not in _DFT_PRECISION:
+        raise ValueError(f"precision must be one of "
+                         f"{sorted(_DFT_PRECISION)}, got {precision!r}")
     win = hann(n_fft)
     Zt = jnp.swapaxes(Z, -1, -2)  # (..., T, F)
     if _use_matmul_dft(n_fft):
         amat, bmat = _idft_windowed(n_fft)
-        hi = jax.lax.Precision.HIGHEST
+        hi = _DFT_PRECISION[precision]
         frames = (
             jnp.matmul(Zt.real, jnp.asarray(amat), precision=hi)
             - jnp.matmul(Zt.imag, jnp.asarray(bmat), precision=hi)

@@ -213,7 +213,7 @@ def oracle_sweep(
         "cfg", "model", "n_scenes", "n_samples", "with_stoi", "n_interferers",
         "reverb", "randomize", "room", "beamformer", "feature_kind",
         "with_waveforms", "steer_error_deg", "interferer_kind",
-        "train_mic_dist", "snr_db",
+        "train_mic_dist", "snr_db", "dsp_precision",
     ),
 )
 def learned_sweep(
@@ -235,6 +235,7 @@ def learned_sweep(
     interferer_kind: str = "speech",
     train_mic_dist: float | None = None,
     snr_db: float = 50.0,
+    dsp_precision: str = "exact",
 ) -> dict:
     """Blind learned-mask campaign sweep: synth scenes (reverb by default,
     mirroring batch_run.py:23-29's RT60=0.5 / 2-interferer config), enhance
@@ -263,6 +264,7 @@ def learned_sweep(
             sc["mixture"], model, variables, enh_cfg,
             beamformer=beamformer, feature_kind=feature_kind,
             train_mic_dist=train_mic_dist,
+            dsp_precision=dsp_precision,
         )
         res = _score(out, sc, cfg, with_stoi)
         if with_waveforms:

@@ -34,7 +34,7 @@ __all__ = ["autosteer_enhance"]
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "length", "model", "feature_kind", "beamformer",
-                     "use_pallas", "fov_gate"),
+                     "use_pallas", "fov_gate", "dsp_precision"),
 )
 def autosteer_enhance(
     mixture: jnp.ndarray,
@@ -50,6 +50,7 @@ def autosteer_enhance(
     use_pallas: bool = False,
     fov_gate: bool = False,
     train_mic_dist: float | None = None,
+    dsp_precision: str = "exact",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Enhance toward the dominant source inside the zoom FOV.
 
@@ -92,6 +93,7 @@ def autosteer_enhance(
             steer_deg=theta,
             fov_deg=fov_width_deg if fov_gate else None,
             train_mic_dist=train_mic_dist,
+            dsp_precision=dsp_precision,
         )
         return out, theta
 

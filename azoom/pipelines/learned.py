@@ -73,7 +73,7 @@ def predict_mask(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "cfg", "beamformer", "feature_kind", "length",
-                     "use_pallas"),
+                     "use_pallas", "dsp_precision"),
 )
 def learned_enhance(
     mixture: jnp.ndarray,
@@ -88,6 +88,7 @@ def learned_enhance(
     fov_deg: float | jnp.ndarray | None = None,
     steer_deg: float | jnp.ndarray | None = None,
     train_mic_dist: float | None = None,
+    dsp_precision: str = "exact",
 ) -> jnp.ndarray:
     """Whole-signal learned enhancement: (..., M, n) -> (..., n).
 
@@ -110,6 +111,9 @@ def learned_enhance(
     continuously-changing camera zoom/direction reuses one compiled
     program; ``steer_deg`` overrides ``cfg.angle_target_deg`` as the look
     direction (e.g. a DOA estimate from azoom.pipelines.autosteer).
+    ``dsp_precision``: 'exact' (default) runs the TPU matmul-DFT STFT/iSTFT
+    at HIGHEST precision; 'fast' uses single-pass bf16 MXU passes (~-54 dB
+    error floor — measured no SIR cost at serving; see RESULTS.md).
     ``train_mic_dist`` enables geometry adaptation: give the spacing the
     mask net was trained at (e.g. 0.04 for the bundled artifacts) and its
     phase features are rescaled by train_mic_dist / cfg.mic_dist, so one
@@ -124,7 +128,7 @@ def learned_enhance(
         1.0 if train_mic_dist is None else train_mic_dist / cfg.mic_dist
     )
 
-    Y = stft(mixture, cfg.n_fft, cfg.hop)
+    Y = stft(mixture, cfg.n_fft, cfg.hop, precision=dsp_precision)
     tgt_mask = predict_mask(
         model, variables, Y, feature_kind, ipd_scale=ipd_scale
     )
@@ -216,7 +220,8 @@ def learned_enhance(
     else:
         raise ValueError(f"unknown beamformer {beamformer!r}")
 
-    return istft(S, cfg.n_fft, cfg.hop, length=length)
+    return istft(S, cfg.n_fft, cfg.hop, length=length,
+                 precision=dsp_precision)
 
 
 def learned_enhance_streaming(

@@ -116,6 +116,11 @@ def main():
                 perturbed, model, variables, cfg,
                 beamformer="mvdr", feature_kind="physics",
                 use_pallas=use_pallas,
+                # Single-pass bf16 matmul-DFT for STFT/iSTFT: 1.32x the
+                # serving step at a ~-54 dB error floor — measured ZERO
+                # blind-SIR cost (32-scene reverb A/B identical, real
+                # fixture -0.03 dB; scripts/profile_dsp_precision.py).
+                dsp_precision="fast",
             )
 
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((batch, n)))

@@ -116,3 +116,52 @@ def test_idft_matrix_matches_irfft_any_parity(n_fft):
     A, B = S._idft_windowed(n_fft)
     got = np.asarray(Z.real) @ A - np.asarray(Z.imag) @ B
     np.testing.assert_allclose(got, ref, atol=1e-4 * max(1.0, np.abs(ref).max()))
+
+
+def test_dsp_precision_knob_plumbs():
+    """stft/istft accept precision='fast' (single-pass bf16 matmul-DFT on
+    TPU — the benchmarked serving configuration). On the CPU test backend
+    the matmul-DFT path is inactive, so both precisions must be bitwise
+    identical; the quality A/B on real hardware lives in
+    scripts/profile_dsp_precision.py (zero blind-SIR cost measured).
+    Unknown precision names must fail loudly, not silently run exact."""
+    import jax.numpy as jnp
+    import pytest
+
+    from azoom.dsp.stft import istft, stft
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8_000)), jnp.float32)
+    Z_exact = stft(x, 512, 256)
+    Z_fast = stft(x, 512, 256, precision="fast")
+    np.testing.assert_array_equal(np.asarray(Z_exact), np.asarray(Z_fast))
+    y_exact = istft(Z_exact, 512, 256, length=8_000)
+    y_fast = istft(Z_exact, 512, 256, length=8_000, precision="fast")
+    np.testing.assert_array_equal(np.asarray(y_exact), np.asarray(y_fast))
+    with pytest.raises(ValueError):
+        stft(x, 512, 256, precision="typo")
+
+
+def test_learned_enhance_dsp_precision_dispatch(rng):
+    """dsp_precision threads through the serving pipeline (and the sweep /
+    autosteer / facade wrappers share the same parameter)."""
+    import jax
+    import jax.numpy as jnp
+
+    from azoom.config import PipelineConfig
+    from azoom.models.unet import FreqPreservingUNet
+    from azoom.pipelines.learned import learned_enhance
+    from azoom.train.data import synth_batch
+    from azoom.train.loop import create_state
+
+    cfg = PipelineConfig(mic_dist=0.04)
+    model = FreqPreservingUNet(base=4)
+    batch = synth_batch(jax.random.PRNGKey(0), 1, cfg, n_samples=8_192)
+    state = create_state(model, jax.random.PRNGKey(0),
+                         batch["features"].shape)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    mix = jnp.asarray(rng.standard_normal((2, 16_000)) * 0.1, jnp.float32)
+    out_e = learned_enhance(mix, model, variables, cfg)
+    out_f = learned_enhance(mix, model, variables, cfg,
+                            dsp_precision="fast")
+    np.testing.assert_array_equal(np.asarray(out_e), np.asarray(out_f))
