@@ -245,4 +245,19 @@ def interferer_signal(
         return music_like(key, n_samples, fs)
     if kind == "noise":
         return colored_noise(key, n_samples, fs)
-    raise ValueError(f"unknown interferer kind {kind!r}; have {INTERFERER_KINDS}")
+    if kind == "mixed":
+        # Uniform random class PER DRAW, traced (one compiled program
+        # covers all four): the robustness-training distribution for the
+        # reference's MUSAN axis (world.py:38-67 --dataset switch).
+        k_kind, k_sig = jax.random.split(key)
+        idx = jax.random.randint(k_kind, (), 0, len(INTERFERER_KINDS))
+        return jax.lax.switch(idx, [
+            lambda k: speech_like(k, n_samples, fs, f0),
+            lambda k: babble_like(k, n_samples, fs),
+            lambda k: music_like(k, n_samples, fs),
+            lambda k: colored_noise(k, n_samples, fs),
+        ], k_sig)
+    raise ValueError(
+        f"unknown interferer kind {kind!r}; have "
+        f"{INTERFERER_KINDS + ('mixed',)}"
+    )

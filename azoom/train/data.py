@@ -22,7 +22,7 @@ from azoom.config import PipelineConfig
 from azoom.masks.features import logmag_ipd_features, physics_aware_features
 from azoom.masks.oracle import ibm_target_mask
 from azoom.sim.farfield import make_scene
-from azoom.sim.signals import speech_like
+from azoom.sim.signals import interferer_signal, speech_like
 from azoom.dsp.stft import stft
 
 __all__ = ["synth_batch", "mix_batch", "TRAIN_ANGLES"]
@@ -34,7 +34,7 @@ TRAIN_ANGLES = (90.0, 40.0, 130.0)  # target, int1, int2 (model_training.py:66)
     jax.jit,
     static_argnames=(
         "batch_size", "cfg", "feature_kind", "n_samples", "pad_multiple",
-        "reverb", "reverb_max_order",
+        "reverb", "reverb_max_order", "interferer_kind",
     ),
 )
 def synth_batch(
@@ -47,8 +47,14 @@ def synth_batch(
     pad_multiple: int = 16,
     reverb: bool = False,
     reverb_max_order: int = 5,
+    interferer_kind: str = "speech",
 ) -> dict:
     """One training batch, fully on device.
+
+    ``interferer_kind`` selects the interferer source class ('speech',
+    'babble', 'music', 'noise', or 'mixed' = uniform random class per
+    interferer per scene — the non-speech robustness training axis;
+    the target is always speech).
 
     Returns dict with:
       features: (B, F, T, C) float32 — C=2 ('logmag_ipd') or 4 ('physics');
@@ -73,8 +79,10 @@ def synth_batch(
         f0s = jax.random.uniform(k_f0, (3,), minval=100.0, maxval=280.0)
         return jnp.stack([
             speech_like(k_t, n_samples, cfg.fs, f0s[0]),
-            speech_like(k_i1, n_samples, cfg.fs, f0s[1]),
-            speech_like(k_i2, n_samples, cfg.fs, f0s[2]),
+            interferer_signal(k_i1, n_samples, cfg.fs, interferer_kind,
+                              f0s[1]),
+            interferer_signal(k_i2, n_samples, cfg.fs, interferer_kind,
+                              f0s[2]),
         ])
 
     sources = jax.vmap(sources_of)(keys)  # (B, 3, n)

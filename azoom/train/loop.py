@@ -121,6 +121,7 @@ def fit(
     n_samples: int = 32_000,
     reverb: bool = False,
     angle_jitter_deg: float = 0.0,
+    interferer_kind: str = "speech",
     corpus_root: str | Path | None = None,
     init_variables: Any | None = None,
     seed: int = 0,
@@ -141,6 +142,10 @@ def fit(
     of real recordings — the reference's LJSpeech training path
     (model_training.py:141-148); scene mixing/features/labels still run
     on device via train.data.mix_batch.
+
+    ``interferer_kind`` selects the interferer source class for
+    synthesized batches ('mixed' = uniform random class per interferer —
+    the non-speech robustness fine-tune axis; train.data.synth_batch).
 
     ``teacher_fn`` enables knowledge distillation: a jitted
     features -> mask-probabilities function (e.g. a larger bundled net);
@@ -220,7 +225,8 @@ def fit(
         else:
             batch = synth_batch(
                 batch_key, batch_size, cfg, feature_kind, n_samples,
-                angle_jitter_deg=angle_jitter_deg, reverb=reverb
+                angle_jitter_deg=angle_jitter_deg, reverb=reverb,
+                interferer_kind=interferer_kind,
             )
         label = batch["label"]
         if teacher_fn is not None:
