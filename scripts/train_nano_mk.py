@@ -7,20 +7,52 @@ training distribution never contained them, the reference's --dataset
 musan axis. This warm-starts from the bundled nano artifact (dequantized
 float weights — weight quantization is measured downstream-lossless)
 and trains 10k steps with interferer_kind='mixed' (uniform random
-speech/babble/music/noise per interferer per scene) against PURE oracle
-IBM targets — no teacher, because the speech-trained teacher's soft
-targets on non-speech scenes are exactly the bias being removed.
+speech/babble/music/noise per interferer per scene).
+
+Iteration history (all evaluated on TPU, scripts/eval_nano_mk.py):
+#1 pure IBM @ lr 1e-4: babble +1.6 / music +4.2 / speech +0.2, but the
+real 1 cm fixture REGRESSED 3.2 dB. #2 self-distillation anchor
+(0.5*IBM + 0.5*original-nano) @ 1e-4: weaker non-speech gains AND the
+real fixture still fell 3.8 dB — target blending does not stop the
+drift; continued training on the synthetic distribution itself does it.
+#3 pure IBM @ lr 2e-5: non-speech gains survive (babble +1.2 / music
++3.1) but the real fixture STILL fell 4.2 dB — the drop is not
+step-size-driven forgetting. #4 (this config): the original nano recipe
+(0.5*IBM + 0.5*SLIM-teacher soft targets, lr 1e-4) with only the scene
+distribution changed to mixed. Result: the best synthetic profile of the
+four (speech +21.46 vs nano's +21.37, babble +18.04 (+0.7), music +24.64
+(+1.9), noise +17.41, steer-20 +22.36) but the real 1 cm fixture STILL
+fell 3.5 dB (+21.16 steered / +21.11 autosteer vs +24.65/+24.59) — so
+the soft-target-calibration hypothesis is dead too. Four recipes, one
+identical symptom. scripts/train_nano_ctl.py runs the null experiment
+(same recipe, speech-only scenes) to decide whether ANY continued
+training off the 40k-distillation endpoint costs the real fixture, or
+whether non-speech exposure specifically does.
 """
 import sys
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+
 import azoom  # noqa: F401
 from azoom.config import PipelineConfig
 from azoom.models.pretrained import load_bundled
 from azoom.models.unet import TPUFPU
 from azoom.train.loop import fit
 
+import jax
+
+from azoom.models.unet import pad_frames
+
 _, init_vars, _ = load_bundled("tpufpu_nano", quant=False)
+tmodel, tvars, _ = load_bundled("tpufpu_slim", quant=False)
+
+
+@jax.jit
+def teacher_fn(features):
+    f, t = pad_frames(features, 16)
+    return jax.lax.stop_gradient(tmodel.apply(tvars, f)[..., :t])
 
 cfg = PipelineConfig(mic_dist=0.04)
 res = fit(
@@ -32,7 +64,9 @@ res = fit(
     angle_jitter_deg=3.0,
     interferer_kind="mixed",
     init_variables=init_vars,
-    checkpoint_dir="/root/repo/checkpoints/tpufpu_nano_mk",
+    teacher_fn=teacher_fn,
+    distill_alpha=0.5,
+    checkpoint_dir="/root/repo/checkpoints/tpufpu_nano_mk4",
     resume=True,
     log_every=500,
 )
