@@ -13,7 +13,13 @@ The max-SNR (= GEV) beamformer maximizes
 whose optimum is the principal generalized eigenvector of (R_tgt, R_noise).
 For M = 2 this reduces to the principal eigenvector of A = R_noise^-1 R_tgt,
 a general (non-Hermitian) 2x2 matrix with a closed-form eigendecomposition —
-pure VPU arithmetic over all (..., F) bins at once.
+pure VPU arithmetic over all (..., F) bins at once. For M > 2 (the round-3
+M-mic generalization, azoom.beam.linalgmm) the principal generalized
+eigenvector comes from a trace-time-unrolled power iteration on
+Rn^-1 R_tgt: the pair is Hermitian PSD, so eigenvalues are real
+non-negative and the iteration converges geometrically in the eigengap;
+every step is one matvec + one unrolled-Cholesky solve over the (..., F)
+batch — still no LAPACK-style decomposition anywhere.
 
 GEV weights carry an arbitrary per-bin complex scale; we fix it with Blind
 Analytic Normalization (BAN, Warsitz & Haeb-Umbach 2007) or a
@@ -30,10 +36,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from azoom.beam.linalg2x2 import solve_2x2_hermitian
+from azoom.beam.linalgmm import solve_hermitian_small
 from azoom.dsp.delays import steering_vector
 
 __all__ = [
     "eig_principal_2x2",
+    "gev_principal_power",
     "gev_weights",
     "fov_target_covariance",
     "max_snr_fov_beamform",
@@ -76,6 +84,39 @@ def eig_principal_2x2(
     return jnp.where(degenerate, e0, v / nv)
 
 
+def gev_principal_power(
+    R_tgt: jnp.ndarray,
+    Rn: jnp.ndarray,
+    iters: int = 12,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """Principal generalized eigenvector of the Hermitian PSD pencil
+    (R_tgt, Rn) for any (static) M, by power iteration on A = Rn^-1 R_tgt.
+
+    Inputs are assumed trace-normalized O(1) (the caller does this — same
+    rationale as the 2x2 path). The pencil's eigenvalues are real and
+    non-negative, so plain power iteration converges geometrically in the
+    eigengap; ``iters`` is static and unrolled — each step is one matvec
+    plus one unrolled-Cholesky solve (azoom.beam.linalgmm), all
+    elementwise over the (..., F) batch. Init is the all-ones vector: its
+    component along the principal eigenvector is nonzero for any
+    beamforming covariance that is not exactly orthogonal to it (and a
+    degenerate pencil — R_tgt proportional to Rn — returns a harmless
+    arbitrary direction, matching the 2x2 path's degeneracy behavior).
+    Returns unit-norm (..., M).
+    """
+    M = Rn.shape[-1]
+    v = jnp.ones(Rn.shape[:-1], Rn.dtype) / jnp.sqrt(
+        jnp.asarray(M, Rn.real.dtype)
+    )
+    for _ in range(iters):
+        u = jnp.einsum("...ij,...j->...i", R_tgt, v)
+        v = solve_hermitian_small(Rn, u)
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=-1, keepdims=True))
+        v = v / jnp.maximum(nrm, eps)
+    return v
+
+
 def gev_weights(
     R_tgt: jnp.ndarray,
     R_noise: jnp.ndarray,
@@ -87,13 +128,14 @@ def gev_weights(
     """Max-SNR weights: principal generalized eigvec of (R_tgt, R_noise).
 
     Args:
-      R_tgt / R_noise: (..., F, 2, 2) Hermitian covariances.
-      d_tgt: (..., F, 2) steering vectors, required for
+      R_tgt / R_noise: (..., F, M, M) Hermitian covariances (M = 2 runs
+        the closed-form eig; M > 2 the whitened power iteration).
+      d_tgt: (..., F, M) steering vectors, required for
         ``normalization='distortionless'``.
       normalization: 'ban' (blind analytic normalization), 'distortionless'
         (scale so w^H d = 1), or 'none'.
 
-    Returns: (..., F, 2) complex weights.
+    Returns: (..., F, M) complex weights.
     """
     M = R_noise.shape[-1]
     eye = jnp.eye(M, dtype=R_noise.dtype)
@@ -106,14 +148,20 @@ def gev_weights(
     # turning the eig into NaN). The det floor guards exactly-rank-1
     # noise fields; it is meaningful because post-normalization det is
     # dimensionless in [0, 1].
-    t_n = (Rn[..., 0, 0].real + Rn[..., 1, 1].real) * 0.5
-    t_t = (R_tgt[..., 0, 0].real + R_tgt[..., 1, 1].real) * 0.5
+    t_n = jnp.trace(Rn.real, axis1=-2, axis2=-1) / M
+    t_t = jnp.trace(R_tgt.real, axis1=-2, axis2=-1) / M
     Rn_h = Rn / jnp.maximum(t_n, 1e-30)[..., None, None]
-    Rt_h = R_tgt / jnp.maximum(t_t, 1e-30)[..., None, None]
-    col0 = solve_2x2_hermitian(Rn_h, Rt_h[..., :, 0], eps=1e-10)
-    col1 = solve_2x2_hermitian(Rn_h, Rt_h[..., :, 1], eps=1e-10)
-    A = jnp.stack([col0, col1], axis=-1)
-    w = eig_principal_2x2(A)
+    Rt_h = (R_tgt / jnp.maximum(t_t, 1e-30)[..., None, None]).astype(Rn.dtype)
+    if M == 2:
+        col0 = solve_2x2_hermitian(Rn_h, Rt_h[..., :, 0], eps=1e-10)
+        col1 = solve_2x2_hermitian(Rn_h, Rt_h[..., :, 1], eps=1e-10)
+        A = jnp.stack([col0, col1], axis=-1)
+        w = eig_principal_2x2(A)
+    else:
+        # M-mic generalization: unrolled power iteration on the whitened
+        # pencil (azoom.beam.linalgmm) — no reference counterpart (the
+        # reference is hard-wired to 2 mics).
+        w = gev_principal_power(Rt_h, Rn_h)
 
     if normalization == "ban":
         # gain = sqrt(w^H Rn Rn w / M) / (w^H Rn w)  (Warsitz 2007, eq. 27)

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from azoom.beam.covariance import masked_covariance
-from azoom.beam.linalg2x2 import solve_2x2_hermitian
+from azoom.beam.linalgmm import solve_hermitian
 
 __all__ = ["mvdr_weights", "apply_weights", "mvdr_beamform", "masked_mvdr"]
 
@@ -38,7 +38,12 @@ def mvdr_weights(
 
     Args:
       R_noise: complex (..., F, M, M) Hermitian noise covariance.
-      d: complex (..., F, M) steering vectors (M = 2).
+      d: complex (..., F, M) steering vectors. M = 2 runs the closed-form
+        adjugate solve; M > 2 the unrolled-Cholesky solve
+        (azoom.beam.linalgmm) — the M-mic generalization the 2-mic
+        reference never had (its readme.md:19 documents blind MVDR
+        failing vs >= 2 interferers; more mics buy the missing degrees
+        of freedom).
       sigma: diagonal loading (regularization / zoom control).
 
     Returns:
@@ -47,7 +52,7 @@ def mvdr_weights(
     M = R_noise.shape[-1]
     eye = jnp.eye(M, dtype=R_noise.dtype)
     R_loaded = R_noise + sigma * eye
-    R_inv_d = solve_2x2_hermitian(R_loaded, d)
+    R_inv_d = solve_hermitian(R_loaded, d)
     denom = jnp.sum(jnp.conj(d) * R_inv_d, axis=-1, keepdims=True)
     return R_inv_d / (denom + eps)
 

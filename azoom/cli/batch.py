@@ -68,6 +68,11 @@ def build_parser():
                         "bundled nets geometry-adapt automatically when "
                         "the array is smaller than their 4 cm training "
                         "spacing (--no-geo-adapt disables)")
+    p.add_argument("--mics", type=int, default=2,
+                   help="mic count for vectorized sweeps (linear array at "
+                        "--mic-dist spacing). The reference is hard-wired "
+                        "to 2; M>2 buys M-1 spatial nulls (oracle/mvdr/wpd "
+                        "beamformers; see RESULTS.md DoF study)")
     p.add_argument("--no-geo-adapt", action="store_true")
     p.add_argument("--max-order", type=int, default=None,
                    help="image-source order for per-run simulation")
@@ -160,11 +165,19 @@ def run_vectorized(args):
     from azoom.parallel.mesh import make_mesh
     from azoom.parallel.sweep import learned_sweep, oracle_sweep, sweep_summary
 
-    cfg = DEFAULT.replace(mic_dist=args.mic_dist)
+    if args.mics != 2 and args.beamformer not in ("oracle", "mvdr", "wpd"):
+        raise SystemExit(
+            f"--mics {args.mics}: only the oracle/mvdr/wpd beamformers are "
+            "M-mic-general in vectorized mode (rmvb/rtf/hard_null use the "
+            "closed-form 2x2 paths; gev is M-general via azoom.beam.gev "
+            "but not a vectorized-mode option)"
+        )
+    cfg = DEFAULT.replace(mic_dist=args.mic_dist, n_mics=args.mics)
     # Keep the simulated room's physical array consistent with the
     # enhancement config (round-3 fix: the room previously kept its 8 cm
-    # default pair whatever --mic-dist said).
-    room = ROOM_DEFAULT.with_mic_dist(args.mic_dist)
+    # default pair whatever --mic-dist said). with_linear_array(2, d)
+    # reproduces the historical with_mic_dist(d) pair exactly.
+    room = ROOM_DEFAULT.with_linear_array(args.mics, args.mic_dist)
     reverb = not args.no_reverb
     n_dev = len(jax.devices())
     n = args.n + (-args.n) % n_dev  # round up to a multiple of devices

@@ -95,6 +95,21 @@ class RoomConfig:
         locs = ((cx - mic_dist / 2, y, z), (cx + mic_dist / 2, y, z))
         return dataclasses.replace(self, mic_locs=locs)
 
+    def with_linear_array(self, n_mics: int, mic_dist: float) -> "RoomConfig":
+        """Same room, an ``n_mics``-element uniform linear array spaced
+        ``mic_dist`` apart along x, centered where the original pair was.
+        The reference has no analogue (it is hard-wired to 2 mics); this
+        is the room-mode entry point for azoom's M-mic generalization —
+        the DoF study (scripts/dof_study.py) uses it to show extra mics
+        recover what readme.md:19 documents as unrecoverable at M=2."""
+        (x0, y, z), (x1, _, _) = self.mic_locs[0], self.mic_locs[1]
+        cx = 0.5 * (x0 + x1)
+        span = (n_mics - 1) * mic_dist
+        locs = tuple(
+            (cx - span / 2 + m * mic_dist, y, z) for m in range(n_mics)
+        )
+        return dataclasses.replace(self, mic_locs=locs)
+
 
 ROOM_DEFAULT = RoomConfig()
 

@@ -108,7 +108,11 @@ def _scene_from_key(
     )
     if reverb:
         # Room mode randomizes interferer placement internally for the
-        # 2nd+ interferer (simulation.py:126-134 semantics).
+        # 2nd+ interferer (simulation.py:126-134 semantics). An M-mic
+        # cfg re-spaces the room array to match (cfg and room are both
+        # static under jit).
+        if len(room.mic_locs) != cfg.n_mics:
+            room = room.with_linear_array(cfg.n_mics, cfg.mic_dist)
         return simulate_room_scene(
             k_geo, sigs[0], sigs[1:], room, reverb=True, fs=cfg.fs,
             snr_db=snr_db,
@@ -125,17 +129,17 @@ def _scene_from_key(
             )
         angles = jnp.asarray(_FIXED_ANGLES[:n_interferers])
     sc = make_scene(
-        sigs[0], sigs[1:], cfg.angle_target_deg, angles, cfg.mic_dist, cfg.fs
+        sigs[0], sigs[1:], cfg.angle_target_deg, angles, cfg.mic_dist,
+        cfg.fs, n_mics=cfg.n_mics,
     )
     if snr_db < 50.0:  # 50 = the reference's effectively-noiseless default
         from azoom.sim.scene import add_awgn
 
-        k0, k1 = jax.random.split(k_awgn)
+        keys = jax.random.split(k_awgn, cfg.n_mics)
         sc = dict(sc)
-        sc["mixture"] = jnp.stack([
-            add_awgn(k0, sc["mixture"][0], snr_db),
-            add_awgn(k1, sc["mixture"][1], snr_db),
-        ])
+        sc["mixture"] = jax.vmap(add_awgn, in_axes=(0, 0, None))(
+            keys, sc["mixture"], snr_db
+        )
     return sc
 
 
@@ -163,7 +167,7 @@ def _score(out: jnp.ndarray, sc: dict, cfg: PipelineConfig, with_stoi: bool) -> 
     static_argnames=(
         "cfg", "n_scenes", "n_samples", "with_stoi", "n_interferers",
         "reverb", "randomize", "room", "with_waveforms", "interferer_kind",
-        "snr_db",
+        "snr_db", "post_filter",
     ),
 )
 def oracle_sweep(
@@ -179,6 +183,7 @@ def oracle_sweep(
     with_waveforms: bool = False,
     interferer_kind: str = "speech",
     snr_db: float = 50.0,
+    post_filter: str = "binary",
 ) -> dict:
     """Generate + enhance + score n_scenes oracle runs in one program.
 
@@ -196,7 +201,8 @@ def oracle_sweep(
             interferer_kind, snr_db,
         )
         out = oracle_enhance(
-            sc["mixture"], sc["target_ref"], sc["interference_ref"], cfg
+            sc["mixture"], sc["target_ref"], sc["interference_ref"], cfg,
+            post_filter=post_filter,
         )
         res = _score(out, sc, cfg, with_stoi)
         if with_waveforms:

@@ -145,7 +145,9 @@ def learned_enhance(
     if beamformer == "mvdr":
         d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics)
         mvdr_fn = masked_mvdr
-        if use_pallas:
+        if use_pallas and cfg.n_mics == 2:
+            # The fused kernel is specialized to the 2-mic closed form;
+            # M > 2 arrays take the XLA path (unrolled-Cholesky solve).
             from azoom.pallas.mvdr_kernel import masked_mvdr_pallas as mvdr_fn
         S = mvdr_fn(
             Y,

@@ -113,12 +113,14 @@ def simulate_room_scene(
     else:
         interf = jnp.zeros_like(target)
 
-    clean_mix = target + interf
-    noisy = jnp.stack(
-        [
-            add_awgn(k_noise0, clean_mix[0], snr_db),
-            add_awgn(k_noise1, clean_mix[1], snr_db),
-        ]
+    clean_mix = target + interf  # (M, n), any mic count
+    if clean_mix.shape[0] == 2:
+        # Keep the historical 2-mic key assignment bit-for-bit.
+        noise_keys = jnp.stack([k_noise0, k_noise1])
+    else:
+        noise_keys = jax.random.split(k_noise0, clean_mix.shape[0])
+    noisy = jax.vmap(add_awgn, in_axes=(0, 0, None))(
+        noise_keys, clean_mix, snr_db
     )
 
     peak = jnp.max(jnp.abs(noisy)) + 1e-9

@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from azoom.beam.linalg2x2 import solve_2x2_hermitian
+from azoom.beam.linalgmm import solve_hermitian
 from azoom.config import PipelineConfig
 from azoom.dsp.delays import steering_vector
 from azoom.dsp.stft import istft, rfft_freqs, stft
@@ -66,7 +66,10 @@ def online_masked_mvdr(
         w_sum = forget * w_sum + m_t
         R = R_sum / (w_sum + eps)[:, None, None]
         R_loaded = R + sigma * eye
-        Rinv_d = solve_2x2_hermitian(R_loaded, d)
+        # Dispatches to the closed-form 2x2 at M=2 (the product hot
+        # path), the unrolled Cholesky at M>2 — the online path is
+        # M-general like the batch MVDR (azoom.beam.linalgmm).
+        Rinv_d = solve_hermitian(R_loaded, d)
         denom = jnp.sum(jnp.conj(d) * Rinv_d, axis=-1, keepdims=True)
         w = Rinv_d / (denom + 1e-10)
         s_t = jnp.sum(jnp.conj(w) * y_t.T, axis=-1)  # (F,)
