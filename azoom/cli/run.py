@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "spacing when --mic-dist is smaller than it)")
     p.add_argument("--mic-dist", type=float, default=None,
                    help="mic spacing in meters (default from config)")
+    p.add_argument("--mics", type=int, default=2,
+                   help="mic count (sim: simulate an M-element linear "
+                        "array at --mic-dist spacing; inf adapts to the "
+                        "mixture WAV's channel count automatically). The "
+                        "reference is hard-wired to 2; M>2 buys M-1 "
+                        "spatial nulls for oracle/mvdr/wpd/gev/online/"
+                        "maxsnr_fov (see RESULTS.md DoF study)")
     p.add_argument("--angle", type=float, default=90.0, help="zoom steering angle (deg)")
     p.add_argument("--sigma", type=float, default=None, help="diagonal loading")
     p.add_argument("--zoom", type=float, default=None,
@@ -127,8 +134,12 @@ def do_sim(args, paths: PathsConfig) -> Path:
     )
     print(f"[SIM] Generating scene '{args.name}' ({spec})...")
     room = RoomConfig()
-    if args.mic_dist is not None:
-        room = room.with_mic_dist(args.mic_dist)  # sim matches enhancement
+    if args.mic_dist is not None or args.mics != 2:
+        # Sim matches enhancement: re-space (and optionally extend) the
+        # simulated array. with_linear_array(2, d) == with_mic_dist(d).
+        (x0, _, _), (x1, _, _) = room.mic_locs[0], room.mic_locs[1]
+        d = args.mic_dist if args.mic_dist is not None else abs(x1 - x0)
+        room = room.with_linear_array(args.mics, d)
     sc = generate_scene(
         jax.random.PRNGKey(args.seed), spec, room, max_order=args.max_order
     )
@@ -234,6 +245,17 @@ def do_inf(args, paths: PathsConfig) -> Path:
     res_dir = paths.run_results_dir(args.name)
     mix, fs = read_wav(sim_dir / "mixture.wav")
     mixture = jnp.asarray(mix.T)  # (M, n)
+    if mixture.shape[0] != cfg.n_mics:
+        # M-mic generalization: follow the recording's channel count
+        # (the sim stage wrote an --mics-element array). 2x2-closed-form
+        # beamformers are scoped honestly.
+        if args.beamformer in ("hard_null", "rmvb", "rtf"):
+            raise SystemExit(
+                f"--beamformer {args.beamformer} uses the closed-form 2x2 "
+                f"paths; the mixture has {mixture.shape[0]} channels "
+                "(use oracle/mvdr/wpd/gev/online/maxsnr_fov for M>2)"
+            )
+        cfg = cfg.replace(n_mics=int(mixture.shape[0]))
     if args.wpe:
         from azoom.wpe.dereverb import wpe_dereverb
 

@@ -173,6 +173,35 @@ def test_room_linear_array_shapes_and_pipeline():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_cli_full_pipeline_m4(tmp_path):
+    """The per-run product CLI at --mics 4: sim writes a 4-channel WAV,
+    inf follows the channel count, eval reports a strong oracle SIR."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    env["PYTHONPATH"] = str(repo)
+    r = subprocess.run(
+        [sys.executable, "-m", "azoom.cli.run", "full", "--name", "m4",
+         "--duration", "1.0", "--mics", "4", "--interferers", "3",
+         "--no-reverb", "--beamformer", "oracle"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    from azoom.io.wav import read_wav
+
+    mix, _ = read_wav(tmp_path / "data/simulated/m4/mixture.wav")
+    assert mix.shape[1] == 4
+    report = (tmp_path / "data/results/m4_results/report.txt").read_text()
+    imp = float(report.split("SIR IMPROVEMENT:")[1].split("dB")[0])
+    assert imp > 10.0, report
+
+
 def test_sweep_runs_at_m4():
     from azoom.parallel.sweep import oracle_sweep
 
