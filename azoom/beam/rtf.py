@@ -144,9 +144,12 @@ def rtf_mvdr_beamform(
     the data speaks clearly; 0.7 keeps the synthetic-scene parity (within
     ~1 dB everywhere) while giving up ~1 dB at most on real fixtures.
     With no fallback the threshold is irrelevant.
-    ``target_mask`` defaults to the complement of ``noise_mask`` for the
-    covariance split, and is also applied as the spectral post-filter
-    (floored by ``mask_floor``) exactly like masked_mvdr.
+    ``target_mask`` semantics: when omitted, the complement of
+    ``noise_mask`` is used for the covariance split ONLY and no spectral
+    post-filter is applied (pure beamforming — the caller owns any
+    masking). When passed explicitly, it is both the covariance split and
+    the spectral post-filter (floored by ``mask_floor``), matching how
+    the learned pipeline drives masked_mvdr.
     """
     tgt = 1.0 - noise_mask if target_mask is None else target_mask
     R_n = masked_covariance(Y, noise_mask)

@@ -328,9 +328,13 @@ def run_per_run(args):
              "--beamformer", args.beamformer, "--data-root", args.data_root]
             + (["--no-reverb"] if args.no_reverb else [])
             + ["--interferer-kind", args.interferer_kind]
+            + ["--snr", str(args.snr)]
+            + ["--mic-dist", str(args.mic_dist)]
+            + ["--mics", str(args.mics)]
             + (["--max-order", str(args.max_order)] if args.max_order is not None else [])
             + (["--ckpt", args.ckpt] if args.ckpt else [])
             + (["--int8"] if args.int8 else [])
+            + (["--no-geo-adapt"] if args.no_geo_adapt else [])
             + ["--model", args.model]  # run.py derives features from it
         )
         try:

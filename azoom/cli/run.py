@@ -213,6 +213,9 @@ def _load_model_variables(args, cfg):
         model = TPUFPU(base=64, fold=4, quant=quant)
     elif args.model == "tpufpu_slim":
         model = TPUFPU(base=64, fold=4, quant=quant, bneck=4)
+    elif args.model == "tpufpu_nano":
+        model = TPUFPU(base=64, fold=4, quant=quant, bneck=4, dec_div=2,
+                       enc_div=2)
     else:
         model = DeepFPU(quant=quant)
     n_ch = 2 if features == "logmag_ipd" else 4

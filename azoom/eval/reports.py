@@ -104,6 +104,19 @@ def append_to_csv(csv_path: str | os.PathLike, run_name: str, m: dict) -> None:
     csv_path = Path(csv_path)
     csv_path.parent.mkdir(parents=True, exist_ok=True)
     file_exists = csv_path.is_file()
+    if file_exists:
+        # Backend-scale guard: a CSV started under the other PESQ backend
+        # carries differently-named perceptual columns (ITU vs _native —
+        # deliberately incomparable scales). Appending into it would put
+        # both scales in one column, exactly what the suffix prevents.
+        with open(csv_path, newline="") as f:
+            existing = f.readline().strip().split(",")
+        if existing and existing != CSV_HEADERS:
+            raise ValueError(
+                f"{csv_path} was written with columns {existing}; this "
+                f"environment would append {CSV_HEADERS} (different PESQ "
+                "backend/scale). Use a fresh CSV per backend."
+            )
     with open(csv_path, "a", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=CSV_HEADERS)
         if not file_exists:

@@ -7,11 +7,18 @@ int8 MXU kernel — while pooling, upsampling, skip concats and the 1x1
 head stay XLA (they are ~0 % of the step; RESULTS.md round-3 profile).
 
 Walks the *same* variables pytree the Flax model uses (params +
-batch_stats + calibrated quant_stats), so every bundled artifact serves
-unchanged; upsampling and the head apply the actual Flax modules with
-extracted sub-trees, guaranteeing layout parity. Architecture drift
-between this mirror and the Flax definition is guarded by
-tests/test_qconv_pallas.py::test_tpufpu_serve_parity.
+batch_stats + calibrated quant_stats); upsampling and the head apply the
+actual Flax modules with extracted sub-trees, guaranteeing layout
+parity. Architecture drift between this mirror and the Flax definition
+is guarded by tests/test_qconv_pallas.py::test_tpufpu_serve_parity.
+
+Scope: the mirror covers the classic TPUFPU tree (any ``base``/``fold``/
+``bneck``; ``dec_div``/``enc_div``/``tfold`` = 1) — the architecture the
+kernel study was run on. The width/grid knobs landed after the study
+concluded the fused kernel is 4.7x slower than XLA end-to-end
+(RESULTS.md), so the mirror is kept as parity-tested infrastructure for
+the legacy tree rather than chasing the flagship's; it raises a clear
+error for the newer knobs instead of mis-applying hardcoded widths.
 
 Serving only (like QConv itself): requires the ``quant_stats`` collection
 from azoom.models.quantize.calibrate_act_scales.
@@ -44,6 +51,14 @@ def tpufpu_apply_pallas(
             "tpufpu_apply_pallas needs calibrated static activation scales "
             "(variables['quant_stats']); run "
             "azoom.models.quantize.calibrate_act_scales first"
+        )
+    if (getattr(model, "dec_div", 1), getattr(model, "enc_div", 1),
+            getattr(model, "tfold", 1)) != (1, 1, 1):
+        raise ValueError(
+            "tpufpu_apply_pallas mirrors the classic TPUFPU tree only "
+            "(dec_div=enc_div=tfold=1); the slim/nano width knobs serve "
+            "through the XLA path, which is faster anyway (the fused "
+            "kernel is a documented negative result, RESULTS.md)"
         )
     p = variables["params"]
     s = variables["batch_stats"]

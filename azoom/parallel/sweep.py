@@ -108,10 +108,17 @@ def _scene_from_key(
     )
     if reverb:
         # Room mode randomizes interferer placement internally for the
-        # 2nd+ interferer (simulation.py:126-134 semantics). An M-mic
-        # cfg re-spaces the room array to match (cfg and room are both
-        # static under jit).
-        if len(room.mic_locs) != cfg.n_mics:
+        # 2nd+ interferer (simulation.py:126-134 semantics). The simulated
+        # array always matches the enhancement config: re-space when the
+        # mic COUNT or the SPACING disagrees (cfg and room are both static
+        # under jit) — otherwise a library caller passing
+        # cfg.replace(mic_dist=0.01) with the default room would silently
+        # simulate the 8 cm pair while steering/geo-adapting for 1 cm
+        # (the round-3 geometry fix, applied at the source instead of
+        # only in the batch CLI).
+        (x0, _, _), (x1, _, _) = room.mic_locs[0], room.mic_locs[1]
+        if (len(room.mic_locs) != cfg.n_mics
+                or abs(abs(x1 - x0) - cfg.mic_dist) > 1e-9):
             room = room.with_linear_array(cfg.n_mics, cfg.mic_dist)
         return simulate_room_scene(
             k_geo, sigs[0], sigs[1:], room, reverb=True, fs=cfg.fs,

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from azoom.beam.linalg2x2 import solve_2x2_hermitian
+from azoom.beam.linalgmm import solve_hermitian
 from azoom.config import PipelineConfig
 from azoom.dsp.delays import steering_vector
 from azoom.dsp.windows import hann
@@ -50,7 +50,7 @@ def _make_step(model, variables: Any, cfg: PipelineConfig, forget: float,
     eye = np.eye(cfg.n_mics, dtype=np.complex64)
 
     @jax.jit
-    def step(ctx, steer_deg, carries, R_sum, w_sum, tail):
+    def step(ctx, steer_deg, sigma, carries, R_sum, w_sum, tail):
         win = hann(n_fft)
         # One analysis frame with the scipy stft conventions of
         # azoom.dsp.stft (Hann, 1/win.sum() scaling).
@@ -67,9 +67,14 @@ def _make_step(model, variables: Any, cfg: PipelineConfig, forget: float,
         outer = jnp.einsum("mf,nf->fmn", y, jnp.conj(y))
         R_sum = forget * R_sum + outer * noise[:, None, None]
         w_sum = forget * w_sum + noise
-        R = R_sum / (w_sum + eps)[:, None, None] + cfg.sigma * eye
+        # sigma is TRACED (the zoom knob: diagonal loading <-> beamwidth),
+        # so mid-stream AudioZoom.set_zoom() changes reuse the compiled
+        # program — same rationale as steer_deg.
+        R = R_sum / (w_sum + eps)[:, None, None] + sigma * eye
         d = steering_vector(fr, steer_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
-        Rinv_d = solve_2x2_hermitian(R, d)
+        # M-general dispatch (closed-form 2x2 at M=2, unrolled Cholesky
+        # beyond) — the low-latency path works on any linear array.
+        Rinv_d = solve_hermitian(R, d)
         denom = jnp.sum(jnp.conj(d) * Rinv_d, axis=-1, keepdims=True)
         w = Rinv_d / (denom + 1e-10)
         s = jnp.sum(jnp.conj(w) * y.T, axis=-1)  # (F,)
@@ -96,13 +101,17 @@ class OnlineEnhancer:
         (CRNMaskNet(unidirectional=True)).
       steer_deg: look direction; mutable between pushes via
         :meth:`set_direction` (traced, so no recompile).
+      sigma: diagonal loading (the zoom <-> beamwidth knob); defaults to
+        cfg.sigma and is mutable between pushes via :meth:`set_sigma`
+        (traced too).
     """
 
     def __init__(self, cfg: PipelineConfig, model, variables: Any,
                  steer_deg: float = 90.0, forget: float = 0.98,
-                 mask_floor: float = 0.05):
+                 mask_floor: float = 0.05, sigma: float | None = None):
         self.cfg = cfg
         self.steer_deg = float(steer_deg)
+        self.sigma = float(cfg.sigma if sigma is None else sigma)
         self._model = model
         self._step = _make_step(model, variables, cfg, forget, mask_floor)
         self._hop = cfg.hop
@@ -137,6 +146,11 @@ class OnlineEnhancer:
     def set_direction(self, steer_deg: float) -> None:
         self.steer_deg = float(steer_deg)
 
+    def set_sigma(self, sigma: float) -> None:
+        """Change the diagonal loading (zoom level) mid-stream; takes
+        effect from the next pushed hop, no recompile."""
+        self.sigma = float(sigma)
+
     @property
     def latency_samples(self) -> int:
         """Worst-case algorithmic latency (one analysis window)."""
@@ -155,6 +169,7 @@ class OnlineEnhancer:
             self._ctx = np.concatenate([self._ctx[:, self._hop:], block], axis=1)
             out, self._carries, self._R, self._w, self._tail = self._step(
                 jnp.asarray(self._ctx), jnp.float32(self.steer_deg),
+                jnp.float32(self.sigma),
                 self._carries, self._R, self._w, self._tail,
             )
             # Frame 0 finalizes only the synthetic lead padding — drop it.

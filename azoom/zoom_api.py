@@ -119,6 +119,10 @@ class AudioZoom:
             self.fov_deg = float(fov_deg)
         if zoom is not None:
             self.zoom = float(np.clip(zoom, 0.0, 1.0))
+            if getattr(self, "_online", None) is not None:
+                # Low-latency mode: the loading is a traced input of the
+                # compiled step — propagate the new zoom mid-stream.
+                self._online.set_sigma(self.sigma)
 
     @property
     def sigma(self) -> float:

@@ -122,6 +122,22 @@ def test_report_and_csv(tmp_path, rng):
     assert lines[0].startswith("Run_ID,SIR_Base,SIR_Enh")
     assert len(lines) == 3
 
+    # Backend-scale guard: a CSV whose perceptual columns were written by
+    # the OTHER PESQ backend (ITU vs _native suffix) must be refused, not
+    # silently mixed into one column.
+    import pytest as _pytest
+
+    other = tmp_path / "other_backend.csv"
+    hdr = csv_path.read_text().splitlines()[0]
+    swapped = (
+        hdr.replace("_native", "") if "_native" in hdr
+        else hdr.replace("PESQ_WB", "PESQ_WB_native").replace(
+            "PESQ_NB", "PESQ_NB_native")
+    )
+    other.write_text(swapped + "\n")
+    with _pytest.raises(ValueError, match="backend"):
+        append_to_csv(other, "run_z", m)
+
 
 def test_pesq_unavailable_renders_na(tmp_path, rng):
     """When the pesq lib is absent, report + CSV must say N/A, never 0.0

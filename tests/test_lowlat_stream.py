@@ -133,6 +133,12 @@ def test_facade_low_latency_mode(scene):
     z.set_zoom(direction_deg=80.0)
     assert z._online.steer_deg == 80.0
 
+    # ... and the zoom level -> diagonal loading too (traced sigma): the
+    # facade's core contract must hold mid-stream in low-latency mode.
+    z.set_zoom(zoom=0.9)
+    assert z._online.sigma == pytest.approx(z.sigma)
+    z.push(mix[:, :2048])  # still streams after the change
+
 
 def test_facade_low_latency_rejects_noncausal_model():
     from azoom.zoom_api import AudioZoom

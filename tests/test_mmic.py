@@ -333,6 +333,23 @@ def test_online_path_runs_at_m4():
     assert float(sir_out - sir_in) > 10.0
 
 
+def test_lowlat_stream_runs_at_m4():
+    """Hop-granularity streaming (the low-latency product path) on a
+    4-mic array: the step's solve dispatches through linalgmm."""
+    from azoom.models.pretrained import load_pretrained_crn_causal
+    from azoom.stream.lowlat import OnlineEnhancer
+
+    cfg = PipelineConfig(n_mics=4, mic_dist=0.04)
+    sc = _three_interferer_scene(4)
+    model, variables = load_pretrained_crn_causal()
+    oe = OnlineEnhancer(cfg, model, variables, steer_deg=90.0)
+    mix = np.asarray(sc["mixture"])
+    outs = [oe.push(mix[:, i:i + 4096]) for i in range(0, mix.shape[1], 4096)]
+    out = np.concatenate(outs)
+    assert out.size > 0
+    assert np.all(np.isfinite(out))
+
+
 def test_learned_pipeline_runs_at_m4():
     """The mask nets read features from the first mic pair; the MVDR uses
     all M channels — the composition must run and stay finite."""

@@ -192,3 +192,16 @@ def test_serve_requires_calibration(rng):
     v = model.init(jax.random.PRNGKey(7), x)
     with pytest.raises(ValueError, match="quant_stats"):
         tpufpu_apply_pallas(model, v, x)
+
+
+def test_serve_rejects_width_grid_knobs(rng):
+    """The fused serve mirror covers the classic TPUFPU tree only; the
+    slim/nano width knobs must raise a clear scope error, not mis-apply
+    hardcoded decoder widths (round-3 review finding)."""
+    model = TPUFPU(base=8, fold=4, quant=True, bneck=4, dec_div=2,
+                   enc_div=2)
+    x = jnp.zeros((1, 513, 16, 4))
+    v = dict(model.init(jax.random.PRNGKey(7), x))
+    v["quant_stats"] = {}  # get past the calibration check
+    with pytest.raises(ValueError, match="classic TPUFPU tree"):
+        tpufpu_apply_pallas(model, v, x)
