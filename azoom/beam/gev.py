@@ -111,9 +111,14 @@ def gev_principal_power(
     )
     for _ in range(iters):
         u = jnp.einsum("...ij,...j->...i", R_tgt, v)
-        v = solve_hermitian_small(Rn, u)
-        nrm = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=-1, keepdims=True))
-        v = v / jnp.maximum(nrm, eps)
+        w = solve_hermitian_small(Rn, u)
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(w) ** 2, axis=-1, keepdims=True))
+        # Collapse guard: an (all-but-)zero R_tgt maps v to ~0 — keep the
+        # previous (unit-norm) direction instead of normalizing a zero
+        # vector, so the degenerate case returns the harmless init
+        # direction rather than the zero vector (whose downstream
+        # reference-normalization would be 0/0).
+        v = jnp.where(nrm > eps, w / jnp.maximum(nrm, eps), v)
     return v
 
 

@@ -45,8 +45,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from azoom.beam.covariance import masked_covariance
-from azoom.beam.gev import eig_principal_2x2
+from azoom.beam.gev import eig_principal_2x2, gev_principal_power
 from azoom.beam.linalg2x2 import solve_2x2_hermitian
+from azoom.beam.linalgmm import solve_hermitian_small
 from azoom.beam.mvdr import apply_weights, mvdr_weights
 
 __all__ = ["rtf_from_covariances", "rtf_mvdr_beamform"]
@@ -62,8 +63,13 @@ def rtf_from_covariances(
     """Estimate per-bin RTF steering vectors by covariance whitening.
 
     Args:
-      R_tgt: (..., F, 2, 2) Hermitian target-masked covariance.
-      R_noise: (..., F, 2, 2) Hermitian noise-masked covariance. Diagonal
+      R_tgt: (..., F, M, M) Hermitian target-masked covariance (M = 2
+        runs the closed-form pencil eig; M > 2 the whitened power
+        iteration — azoom.beam.gev.gev_principal_power — with the
+        confidence from the principal Rayleigh quotient against the mean
+        of the remaining generalized spectrum, which coincides with the
+        2x2 definition at M = 2).
+      R_noise: (..., F, M, M) Hermitian noise-masked covariance. Diagonal
         loading of ``load`` x trace keeps the whitening solve well-posed at
         bins where the noise average is near-singular.
       ref_floor: smallest reference-mic magnitude (relative to the steering
@@ -80,30 +86,70 @@ def rtf_from_covariances(
       noise, ~0 when R_tgt is just scaled noise (no measurable target
       direction), so downstream gating can prefer a geometric fallback.
     """
-    tr_n = jnp.real(R_noise[..., 0, 0] + R_noise[..., 1, 1])
+    M = R_noise.shape[-1]
+    tr_n = jnp.trace(R_noise.real, axis1=-2, axis2=-1)
     Rl = R_noise + (load * tr_n + eps)[..., None, None] * jnp.eye(
-        2, dtype=R_noise.dtype
+        M, dtype=R_noise.dtype
     )
-    # A = Rl^-1 R_tgt, column by column through the closed-form solve.
-    A = jnp.stack(
-        [
-            solve_2x2_hermitian(Rl, R_tgt[..., :, 0]),
-            solve_2x2_hermitian(Rl, R_tgt[..., :, 1]),
-        ],
-        axis=-1,
-    )
-    # Generalized eigenvalues of the PSD pencil (real >= 0 in exact
-    # arithmetic; |.| guards numerical residue) -> masked-SNR separation.
-    tr_a = A[..., 0, 0] + A[..., 1, 1]
-    det_a = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
-    disc = jnp.sqrt(tr_a * tr_a - 4.0 * det_a + 0j)
-    lam_hi = jnp.abs(0.5 * (tr_a + disc))
-    lam_lo = jnp.abs(0.5 * (tr_a - disc))
-    hi = jnp.maximum(lam_hi, lam_lo)
-    lo = jnp.minimum(lam_hi, lam_lo)
-    conf = (hi - lo) / (hi + lo + eps)
-
-    v = eig_principal_2x2(A)
+    if M == 2:
+        # A = Rl^-1 R_tgt, column by column through the closed-form solve.
+        A = jnp.stack(
+            [
+                solve_2x2_hermitian(Rl, R_tgt[..., :, 0]),
+                solve_2x2_hermitian(Rl, R_tgt[..., :, 1]),
+            ],
+            axis=-1,
+        )
+        # Generalized eigenvalues of the PSD pencil (real >= 0 in exact
+        # arithmetic; |.| guards numerical residue) -> masked-SNR
+        # separation.
+        tr_a = A[..., 0, 0] + A[..., 1, 1]
+        det_a = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+        disc = jnp.sqrt(tr_a * tr_a - 4.0 * det_a + 0j)
+        lam_hi = jnp.abs(0.5 * (tr_a + disc))
+        lam_lo = jnp.abs(0.5 * (tr_a - disc))
+        hi = jnp.maximum(lam_hi, lam_lo)
+        lo = jnp.minimum(lam_hi, lam_lo)
+        conf = (hi - lo) / (hi + lo + eps)
+        v = eig_principal_2x2(A)
+    else:
+        # M-mic generalization (no reference counterpart): principal
+        # generalized eigenvector by whitened power iteration on the
+        # trace-normalized pencil; for a rank-1 target (R_tgt ~ s a a^H)
+        # the principal v satisfies Rl v ~ a, so the de-whitening below
+        # recovers the RTF exactly as in the 2x2 path.
+        t_n = jnp.maximum(tr_n / M, 1e-30)
+        # Floor the target trace RELATIVE to the noise trace: silent
+        # masked bins carry absolutely tiny R_tgt, and dividing by an
+        # absolute 1e-30 floor would blow entries past f32 range
+        # (inf -> NaN). Relative flooring keeps them ~0 instead, which
+        # the power iteration's collapse guard handles.
+        t_t = jnp.maximum(
+            jnp.trace(R_tgt.real, axis1=-2, axis2=-1) / M, 1e-12 * t_n
+        )
+        v = gev_principal_power(
+            (R_tgt / t_t[..., None, None]).astype(Rl.dtype),
+            Rl / t_n[..., None, None],
+        )
+        # Confidence = separation of the principal generalized eigenvalue
+        # from the MEAN of the remaining spectrum: lam1 by Rayleigh
+        # quotient, the rest from trace(Rl^-1 R_tgt) - lam1. At M=2 this
+        # is exactly (hi-lo)/(hi+lo) above.
+        Rt_v = jnp.einsum("...ij,...j->...i", R_tgt, v)
+        Rl_v = jnp.einsum("...ij,...j->...i", Rl, v)
+        num = jnp.real(jnp.sum(jnp.conj(v) * Rt_v, axis=-1))
+        den = jnp.real(jnp.sum(jnp.conj(v) * Rl_v, axis=-1))
+        lam1 = jnp.maximum(num / (den + eps), 0.0)
+        cols = jnp.stack(
+            [
+                solve_hermitian_small(Rl, R_tgt[..., :, i])[..., i]
+                for i in range(M)
+            ],
+            axis=-1,
+        )
+        tr_a = jnp.maximum(jnp.real(jnp.sum(cols, axis=-1)), 0.0)
+        rest = jnp.maximum(tr_a - lam1, 0.0) / (M - 1)
+        conf = (lam1 - rest) / (lam1 + rest + eps)
     a = jnp.einsum("...ij,...j->...i", Rl, v)
 
     # Reference-mic normalization with a phase-preserving magnitude floor.

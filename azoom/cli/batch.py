@@ -165,10 +165,11 @@ def run_vectorized(args):
     from azoom.parallel.mesh import make_mesh
     from azoom.parallel.sweep import learned_sweep, oracle_sweep, sweep_summary
 
-    if args.mics != 2 and args.beamformer not in ("oracle", "mvdr", "wpd"):
+    if args.mics != 2 and args.beamformer not in ("oracle", "mvdr", "wpd",
+                                                  "rtf"):
         raise SystemExit(
-            f"--mics {args.mics}: only the oracle/mvdr/wpd beamformers are "
-            "M-mic-general in vectorized mode (rmvb/rtf/hard_null use the "
+            f"--mics {args.mics}: only the oracle/mvdr/wpd/rtf beamformers "
+            "are M-mic-general in vectorized mode (rmvb/hard_null use the "
             "closed-form 2x2 paths; gev is M-general via azoom.beam.gev "
             "but not a vectorized-mode option)"
         )

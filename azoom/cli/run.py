@@ -252,11 +252,11 @@ def do_inf(args, paths: PathsConfig) -> Path:
         # M-mic generalization: follow the recording's channel count
         # (the sim stage wrote an --mics-element array). 2x2-closed-form
         # beamformers are scoped honestly.
-        if args.beamformer in ("hard_null", "rmvb", "rtf"):
+        if args.beamformer in ("hard_null", "rmvb"):
             raise SystemExit(
                 f"--beamformer {args.beamformer} uses the closed-form 2x2 "
                 f"paths; the mixture has {mixture.shape[0]} channels "
-                "(use oracle/mvdr/wpd/gev/online/maxsnr_fov for M>2)"
+                "(use oracle/mvdr/wpd/rtf/gev/online/maxsnr_fov for M>2)"
             )
         cfg = cfg.replace(n_mics=int(mixture.shape[0]))
     if args.wpe:

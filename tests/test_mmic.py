@@ -333,6 +333,64 @@ def test_online_path_runs_at_m4():
     assert float(sir_out - sir_in) > 10.0
 
 
+def test_rtf_geometry_free_at_m4():
+    """RTF-steered MVDR at M=4 (whitened power iteration): with oracle
+    masks and NO geometry input it must run, stay finite, report high
+    confidence for the coherent target, and beamform strongly."""
+    from azoom.beam.rtf import rtf_from_covariances, rtf_mvdr_beamform
+    from azoom.beam.covariance import masked_covariance
+    from azoom.dsp.stft import istft, rfft_freqs, stft
+    from azoom.eval.projection import osinr_osir
+    from azoom.masks.oracle import ibm_noise_mask
+
+    cfg = PipelineConfig(n_mics=4, mic_dist=0.04)
+    sc = _three_interferer_scene(4)
+    Y = stft(sc["mixture"], cfg.n_fft, cfg.hop)
+    S_t = stft(sc["target_ref"], cfg.n_fft, cfg.hop)
+    S_i = stft(sc["interference_ref"], cfg.n_fft, cfg.hop)
+    nm = ibm_noise_mask(S_t, S_i)
+    freqs = rfft_freqs(cfg.n_fft, cfg.fs)
+
+    # Confidence sanity: the masked pencil of a coherent target should be
+    # judged anisotropic in the speech band.
+    a, conf = rtf_from_covariances(
+        masked_covariance(Y, 1.0 - nm), masked_covariance(Y, nm)
+    )
+    assert a.shape == (freqs.shape[0], 4)
+    band = (np.asarray(freqs) > 200) & (np.asarray(freqs) < 3000)
+    assert float(np.median(np.asarray(conf)[band])) > 0.5
+    # RTF is reference-normalized: |a0| = 1 wherever the target is audible
+    # at the reference mic, < 1 only where the ref_floor magnitude cap
+    # engages (documented semantics) — never above, never NaN.
+    a0 = np.abs(np.asarray(a)[band, 0])
+    assert np.all(np.isfinite(a0))
+    assert float(a0.max()) <= 1.0 + 1e-3
+    assert float(np.median(a0)) == pytest.approx(1.0, abs=1e-3)
+
+    S = rtf_mvdr_beamform(Y, nm, freqs, target_mask=1.0 - nm,
+                          sigma=cfg.sigma)
+    out = istft(S, cfg.n_fft, cfg.hop, length=sc["target_ref"].shape[-1])
+    assert np.all(np.isfinite(np.asarray(out)))
+    _, sir_out = osinr_osir(out, sc["target_ref"], sc["interference_ref"])
+    _, sir_in = osinr_osir(
+        sc["mixture"][0], sc["target_ref"], sc["interference_ref"]
+    )
+    assert float(sir_out - sir_in) > 10.0
+
+
+def test_rtf_m2_closed_form_unchanged():
+    """The M=2 closed-form pencil path must be bit-stable under the
+    M-general refactor (trace via jnp.trace instead of explicit sum)."""
+    from azoom.beam.rtf import rtf_from_covariances
+
+    kt, kn = jax.random.split(jax.random.PRNGKey(3))
+    Rt = _random_hpd(kt, 16, 2, load=0.01)
+    Rn = _random_hpd(kn, 16, 2, load=0.2)
+    a, conf = rtf_from_covariances(Rt, Rn)
+    assert np.all(np.isfinite(np.asarray(a).view(np.float32)))
+    assert np.all((np.asarray(conf) >= 0) & (np.asarray(conf) <= 1))
+
+
 def test_lowlat_stream_runs_at_m4():
     """Hop-granularity streaming (the low-latency product path) on a
     4-mic array: the step's solve dispatches through linalgmm."""
