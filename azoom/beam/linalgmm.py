@@ -23,7 +23,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["cholesky_small", "solve_hermitian_small", "solve_hermitian"]
+__all__ = [
+    "cholesky_small",
+    "solve_hermitian_small",
+    "solve_hermitian",
+    "eigh_hermitian_small",
+]
 
 
 def cholesky_small(R: jnp.ndarray, eps: float = 1e-7) -> list[list[jnp.ndarray]]:
@@ -103,3 +108,71 @@ def solve_hermitian(R: jnp.ndarray, d: jnp.ndarray, eps: float = 0.0) -> jnp.nda
 
         return solve_2x2_hermitian(R, d, eps=eps)
     return solve_hermitian_small(R, d, eps=eps if eps > 0.0 else 1e-7)
+
+
+def eigh_hermitian_small(
+    R: jnp.ndarray, sweeps: int = 6
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full eigendecomposition of (..., M, M) Hermitian matrices for small
+    static M, by trace-time-unrolled cyclic Jacobi.
+
+    Returns ``(eigvals, eigvecs)`` following numpy.linalg.eigh conventions:
+    eigvals (..., M) ascending, eigvecs (..., M, M) unit-norm COLUMNS, so
+    the principal eigenvector is ``eigvecs[..., :, -1]`` and
+    R = U diag(eigvals) U^H.
+
+    Design (same doctrine as the solves above): M is static and tiny, so
+    the pair loop is unrolled in Python at trace time; each rotation is the
+    already-validated closed-form 2x2 Hermitian EVD
+    (azoom.beam.linalg2x2.eigh_2x2_hermitian) of the (p, q) block, applied
+    two-sided to the batched working matrix and accumulated into U — every
+    emitted op is an elementwise VPU pass over the (..., F) batch, no
+    LAPACK-style dynamic iteration, no per-bin host loops (the reference
+    runs numpy.linalg.eigh per frequency bin inside a Python loop,
+    Final_pipeline/src/inference.py:65). Cyclic Jacobi converges
+    quadratically; ``sweeps=6`` puts the off-diagonal residue below
+    float32 noise for M <= 8 (validated against numpy.linalg.eigh in
+    tests/test_mmic.py). At M = 2 this returns the closed form directly.
+    """
+    M = R.shape[-1]
+    from azoom.beam.linalg2x2 import eigh_2x2_hermitian
+
+    if M == 2:
+        return eigh_2x2_hermitian(R)
+    A = R
+    eye = jnp.eye(M, dtype=R.dtype)
+    U = jnp.broadcast_to(eye, R.shape)
+    for _ in range(sweeps):
+        for p in range(M - 1):
+            for q in range(p + 1, M):
+                blk = jnp.stack(
+                    [
+                        jnp.stack([A[..., p, p], A[..., p, q]], axis=-1),
+                        jnp.stack([A[..., q, p], A[..., q, q]], axis=-1),
+                    ],
+                    axis=-2,
+                )
+                _, V = eigh_2x2_hermitian(blk)
+                v00 = V[..., 0, 0][..., None]
+                v10 = V[..., 1, 0][..., None]
+                v01 = V[..., 0, 1][..., None]
+                v11 = V[..., 1, 1][..., None]
+                # A <- G^H A G with G = I except the (p, q) block = V.
+                colp = A[..., :, p] * v00 + A[..., :, q] * v10
+                colq = A[..., :, p] * v01 + A[..., :, q] * v11
+                A = A.at[..., :, p].set(colp).at[..., :, q].set(colq)
+                rowp = (
+                    jnp.conj(v00) * A[..., p, :] + jnp.conj(v10) * A[..., q, :]
+                )
+                rowq = (
+                    jnp.conj(v01) * A[..., p, :] + jnp.conj(v11) * A[..., q, :]
+                )
+                A = A.at[..., p, :].set(rowp).at[..., q, :].set(rowq)
+                up = U[..., :, p] * v00 + U[..., :, q] * v10
+                uq = U[..., :, p] * v01 + U[..., :, q] * v11
+                U = U.at[..., :, p].set(up).at[..., :, q].set(uq)
+    ev = jnp.real(jnp.diagonal(A, axis1=-2, axis2=-1))
+    order = jnp.argsort(ev, axis=-1)
+    ev_sorted = jnp.take_along_axis(ev, order, axis=-1)
+    U_sorted = jnp.take_along_axis(U, order[..., None, :], axis=-1)
+    return ev_sorted, U_sorted

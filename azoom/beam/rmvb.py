@@ -16,7 +16,10 @@ sphere ||a - a_bar||^2 <= eps, which reduces to
 followed by the ordinary MVDR solve with a_hat. g is monotone decreasing
 in lambda, so the 1-D root-find is a fixed-iteration bisection — fully
 jittable, batched over every frequency bin at once via the closed-form
-2x2 eigendecomposition (no per-bin loops, no LAPACK).
+2x2 eigendecomposition at M = 2 and the unrolled cyclic-Jacobi EVD
+(azoom.beam.linalgmm.eigh_hermitian_small) for larger arrays (no per-bin
+loops, no LAPACK) — every step after the EVD is dimension-agnostic, so
+the same bisection serves any mic count.
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from azoom.beam.covariance import masked_covariance
-from azoom.beam.linalg2x2 import eigh_2x2_hermitian
+from azoom.beam.linalgmm import eigh_hermitian_small
 from azoom.beam.mvdr import apply_weights, mvdr_weights
 
 __all__ = ["rmvb_weights", "rmvb_beamform"]
@@ -40,16 +43,17 @@ def rmvb_weights(
     R_solve: jnp.ndarray | None = None,
     correction_weight: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Robust Capon weights for 2-element arrays.
+    """Robust Capon weights for M-element arrays.
 
     Args:
-      R: (..., F, 2, 2) Hermitian covariance used for the steering
+      R: (..., F, M, M) Hermitian covariance used for the steering
         correction — it must CONTAIN the signal of interest (the classic
         RCB setting uses the sample/mixture covariance; the masked variant
-        below uses the target-weighted covariance).
-      d: (..., F, 2) nominal steering vectors (||d||^2 = M = 2).
+        below uses the target-weighted covariance). M = 2 runs the
+        closed-form EVD, M > 2 the unrolled Jacobi (linalgmm).
+      d: (..., F, M) nominal steering vectors (||d||^2 = M).
       eps_uncertainty: radius^2 of the steering uncertainty sphere; must be
-        < ||d||^2 = 2. Larger = more robust to pointing error, wider beam
+        < ||d||^2 = M. Larger = more robust to pointing error, wider beam
         (eps -> 0 recovers plain MVDR). 0.5 tolerates ~10-15 deg of
         look-direction error at 4 cm spacing.
       sigma: diagonal loading for the final solve.
@@ -61,11 +65,11 @@ def rmvb_weights(
         the nominal steering (0) and the corrected one (1); used to
         disable the correction where R carries no target evidence.
 
-    Returns: (..., F, 2) complex weights, distortionless toward the
+    Returns: (..., F, M) complex weights, distortionless toward the
     *corrected* steering vector.
     """
-    # Eigenbasis of R: R = U diag(g1, g2) U^H, g ascending, columns unit.
-    gam, U = eigh_2x2_hermitian(R)
+    # Eigenbasis of R: R = U diag(g) U^H, g ascending, columns unit.
+    gam, U = eigh_hermitian_small(R)
     gam = jnp.maximum(gam, 0.0)
     b = jnp.einsum("...ij,...i->...j", jnp.conj(U), d)  # U^H d, (..., 2)
     b2 = (b * jnp.conj(b)).real
@@ -145,7 +149,7 @@ def rmvb_beamform(
     """
     R_noise = masked_covariance(Y, noise_mask)
     R_sig = masked_covariance(Y, 1.0 - noise_mask)
-    tr = lambda R: (R[..., 0, 0] + R[..., 1, 1]).real
+    tr = lambda R: jnp.trace(R, axis1=-2, axis2=-1).real
     q = tr(R_sig) / (tr(R_sig) + tr(R_noise) + 1e-30)  # (..., F)
     w = rmvb_weights(
         R_sig, d, eps_uncertainty, sigma, R_solve=R_noise,

@@ -165,14 +165,9 @@ def run_vectorized(args):
     from azoom.parallel.mesh import make_mesh
     from azoom.parallel.sweep import learned_sweep, oracle_sweep, sweep_summary
 
-    if args.mics != 2 and args.beamformer not in ("oracle", "mvdr", "wpd",
-                                                  "rtf"):
-        raise SystemExit(
-            f"--mics {args.mics}: only the oracle/mvdr/wpd/rtf beamformers "
-            "are M-mic-general in vectorized mode (rmvb/hard_null use the "
-            "closed-form 2x2 paths; gev is M-general via azoom.beam.gev "
-            "but not a vectorized-mode option)"
-        )
+    # Every vectorized-mode beamformer (oracle/mvdr/hard_null/rmvb/wpd/
+    # rtf) is M-mic-general: 2-mic closed forms stay the M=2 hot path,
+    # linalgmm's unrolled Cholesky/Jacobi serve M>2.
     cfg = DEFAULT.replace(mic_dist=args.mic_dist, n_mics=args.mics)
     # Keep the simulated room's physical array consistent with the
     # enhancement config (round-3 fix: the room previously kept its 8 cm

@@ -86,8 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "array at --mic-dist spacing; inf adapts to the "
                         "mixture WAV's channel count automatically). The "
                         "reference is hard-wired to 2; M>2 buys M-1 "
-                        "spatial nulls for oracle/mvdr/wpd/gev/online/"
-                        "maxsnr_fov (see RESULTS.md DoF study)")
+                        "spatial nulls on every beamformer "
+                        "(see RESULTS.md DoF study)")
+    p.add_argument("--nulls", type=int, default=1,
+                   help="hard_null at M>2: how many principal "
+                        "interference eigenvectors to null (clamped to "
+                        "M-1; set to the expected interferer count)")
     p.add_argument("--angle", type=float, default=90.0, help="zoom steering angle (deg)")
     p.add_argument("--sigma", type=float, default=None, help="diagonal loading")
     p.add_argument("--zoom", type=float, default=None,
@@ -250,14 +254,9 @@ def do_inf(args, paths: PathsConfig) -> Path:
     mixture = jnp.asarray(mix.T)  # (M, n)
     if mixture.shape[0] != cfg.n_mics:
         # M-mic generalization: follow the recording's channel count
-        # (the sim stage wrote an --mics-element array). 2x2-closed-form
-        # beamformers are scoped honestly.
-        if args.beamformer in ("hard_null", "rmvb"):
-            raise SystemExit(
-                f"--beamformer {args.beamformer} uses the closed-form 2x2 "
-                f"paths; the mixture has {mixture.shape[0]} channels "
-                "(use oracle/mvdr/wpd/rtf/gev/online/maxsnr_fov for M>2)"
-            )
+        # (the sim stage wrote an --mics-element array). Every beamformer
+        # is M-general (2-mic closed forms remain the M=2 hot path;
+        # linalgmm's unrolled Cholesky/Jacobi serve M>2).
         cfg = cfg.replace(n_mics=int(mixture.shape[0]))
     if args.wpe:
         from azoom.wpe.dereverb import wpe_dereverb
@@ -352,7 +351,7 @@ def do_inf(args, paths: PathsConfig) -> Path:
             out = learned_enhance_streaming(
                 mixture, model, variables, cfg,
                 beamformer=args.beamformer, feature_kind=model_features(args),
-                train_mic_dist=geo,
+                train_mic_dist=geo, n_nulls=args.nulls,
             )
 
     if timer is not None:

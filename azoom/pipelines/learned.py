@@ -73,7 +73,7 @@ def predict_mask(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "cfg", "beamformer", "feature_kind", "length",
-                     "use_pallas", "dsp_precision"),
+                     "use_pallas", "dsp_precision", "n_nulls"),
 )
 def learned_enhance(
     mixture: jnp.ndarray,
@@ -89,8 +89,13 @@ def learned_enhance(
     steer_deg: float | jnp.ndarray | None = None,
     train_mic_dist: float | None = None,
     dsp_precision: str = "exact",
+    n_nulls: int = 1,
 ) -> jnp.ndarray:
     """Whole-signal learned enhancement: (..., M, n) -> (..., n).
+
+    ``n_nulls``: hard nulls placed by the 'hard_null' beamformer at
+    M > 2 (azoom.beam.nullsteer — an M-mic array pointed at K interferers
+    wants n_nulls=K); ignored at M = 2 and by the other beamformers.
 
     beamformer: 'mvdr' (tf_lite_version/inference.py batch_mvdr path),
     'hard_null' (Final_pipeline hybrid path, <200 Hz bypass + cond
@@ -210,8 +215,12 @@ def learned_enhance(
             freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics,
             normalize_phase=True,
         )
-        null_fn = hybrid_hard_null_beamform
-        if use_pallas:
+        null_fn = functools.partial(
+            hybrid_hard_null_beamform, n_nulls=n_nulls
+        )
+        if use_pallas and cfg.n_mics == 2:
+            # The fused kernel is specialized to the 2-mic closed form
+            # (single null by construction); M > 2 takes the XLA path.
             from azoom.pallas.nullsteer_kernel import (
                 hybrid_hard_null_pallas as null_fn,
             )
@@ -234,6 +243,7 @@ def learned_enhance_streaming(
     beamformer: str = "mvdr",
     feature_kind: str = "logmag_ipd",
     train_mic_dist: float | None = None,
+    n_nulls: int = 1,
 ) -> jnp.ndarray:
     """Chunked 2 s / 50 % overlap-add variant for arbitrary-length audio —
     the reference's real-time execution model (Final inference.py:171-233)."""
@@ -241,7 +251,7 @@ def learned_enhance_streaming(
     def process(chunk):
         return learned_enhance(
             chunk, model, variables, cfg, beamformer, feature_kind,
-            train_mic_dist=train_mic_dist,
+            train_mic_dist=train_mic_dist, n_nulls=n_nulls,
         )
 
     hop = cfg.win_size // 2

@@ -423,3 +423,182 @@ def test_learned_pipeline_runs_at_m4():
                           feature_kind="logmag_ipd")
     assert out.shape == sc["target_ref"].shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("M", [3, 4, 6, 8])
+def test_eigh_hermitian_small_vs_numpy(M):
+    """Unrolled cyclic-Jacobi EVD: eigvals, reconstruction, and unitarity
+    against numpy.linalg.eigh at float32 tolerance."""
+    from azoom.beam.linalgmm import eigh_hermitian_small
+
+    R = _random_hpd(jax.random.PRNGKey(20 + M), 32, M, load=0.01)
+    ev, U = jax.jit(eigh_hermitian_small)(R)
+    R_np, ev, U = np.asarray(R), np.asarray(ev), np.asarray(U)
+    ev_np = np.linalg.eigvalsh(R_np)
+    scale = np.abs(ev_np).max(axis=-1, keepdims=True)
+    np.testing.assert_allclose(ev / scale, ev_np / scale, atol=1e-5)
+    rec = np.einsum("bij,bj,bkj->bik", U, ev, U.conj())
+    assert np.abs(rec - R_np).max() / scale.max() < 1e-5
+    UhU = np.einsum("bji,bjk->bik", U.conj(), U)
+    assert np.abs(UhU - np.eye(M)).max() < 1e-5
+
+
+def test_eigh_hermitian_small_m2_is_closed_form():
+    from azoom.beam.linalg2x2 import eigh_2x2_hermitian
+    from azoom.beam.linalgmm import eigh_hermitian_small
+
+    R = _random_hpd(jax.random.PRNGKey(5), 8, 2)
+    ev_a, U_a = eigh_hermitian_small(R)
+    ev_b, U_b = eigh_2x2_hermitian(R)
+    np.testing.assert_array_equal(np.asarray(ev_a), np.asarray(ev_b))
+    np.testing.assert_array_equal(np.asarray(U_a), np.asarray(U_b))
+
+
+def _nullsteer_physical_study(mic_dist, f0s, n_nulls_list):
+    """Physical (per-stem image) measurement of the M=4 multi-null
+    beamformer: apply the weights to the target-only and
+    interference-only multichannel images. The projection metrics
+    (osinr_osir) project residual interference onto the 1-D summed-ref
+    direction, so FILTERED residue escapes into the noise term and
+    cross-beamformer comparisons mislead — this decomposition is the
+    ground truth the design decisions in azoom.beam.nullsteer were made
+    against."""
+    from azoom.beam.covariance import masked_covariance
+    from azoom.beam.nullsteer import hard_null_weights
+    from azoom.dsp.stft import stft
+    from azoom.masks.oracle import ibm_noise_mask
+
+    cfg = PipelineConfig(n_mics=4, mic_dist=mic_dist)
+    n = 16_000
+    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+    target = speech_like(keys[0], n, 16_000, f0s[0])
+    ints = jnp.stack([speech_like(keys[i + 1], n, 16_000, f0s[i + 1])
+                      for i in range(3)])
+    zero3 = jnp.zeros((3, n))
+    args = (90.0, jnp.asarray([30.0, 135.0, 60.0]), mic_dist, 16_000.0)
+    sc_t = make_scene(target, zero3, *args, n_mics=4, normalize=False)
+    sc_full = make_scene(target, ints, *args, n_mics=4, normalize=False)
+    sc_i = make_scene(jnp.zeros((n,)), ints, *args, n_mics=4,
+                      normalize=False)
+    Y = stft(sc_full["mixture"], cfg.n_fft, cfg.hop)
+    Yt = stft(sc_t["mixture"], cfg.n_fft, cfg.hop)
+    Yi = stft(sc_i["mixture"], cfg.n_fft, cfg.hop)
+    nm = ibm_noise_mask(
+        stft(sc_full["target_ref"], cfg.n_fft, cfg.hop),
+        stft(sc_full["interference_ref"], cfg.n_fft, cfg.hop),
+    )
+    freqs = rfft_freqs(cfg.n_fft, cfg.fs)
+    d = steering_vector(freqs, 90.0, mic_dist, cfg.c, 4,
+                        normalize_phase=True)
+    R_int = masked_covariance(Y, nm)
+    pt_in = float(jnp.sum(jnp.abs(Yt[0]) ** 2))
+    pi_in = float(jnp.sum(jnp.abs(Yi[0]) ** 2))
+    pw = np.asarray(jnp.sum(jnp.abs(Yi[0]) ** 2, axis=-1))
+    pw = pw / pw.sum()
+    rows = {}
+    for J in n_nulls_list:
+        w = hard_null_weights(R_int, d, n_nulls=J)
+        assert np.all(np.isfinite(np.asarray(w).view(np.float32)))
+        St = jnp.einsum("fm,mft->ft", jnp.conj(w), Yt)
+        Si = jnp.einsum("fm,mft->ft", jnp.conj(w), Yi)
+        pt = float(jnp.sum(jnp.abs(St) ** 2))
+        pi = float(jnp.sum(jnp.abs(Si) ** 2))
+        rows[J] = {
+            "tgt_db": 10 * np.log10(pt / pt_in),
+            "sir_db": 10 * np.log10(pt / pi) - 10 * np.log10(pt_in / pi_in),
+            # interference-energy-weighted WNG relative to delay-and-sum
+            "wng_db": 10 * np.log10(
+                float((np.asarray(jnp.sum(jnp.abs(w) ** 2, -1)) * pw).sum())
+                * 4
+            ),
+        }
+    return rows
+
+
+def test_hard_null_multinull_at_m4_separable():
+    """M=4 norm-constrained LCMV on a spatially separable scene (8 cm
+    array, higher-f0 sources): multi-null beats single-null, the target
+    is exactly preserved (unit-gain renormalization), and the weights
+    respect the +10 dB white-noise-gain budget."""
+    rows = _nullsteer_physical_study(0.08, (300.0, 420.0, 360.0, 500.0),
+                                     (1, 2))
+    for J, r in rows.items():
+        assert abs(r["tgt_db"]) < 0.1, (J, r)
+        assert r["wng_db"] < 10.5, (J, r)
+        assert r["sir_db"] > 0.5, (J, r)
+    assert rows[2]["sir_db"] > rows[1]["sir_db"] + 1.0, rows
+
+
+def test_hard_null_multinull_congested_is_safe():
+    """The hostile case the design guards against: a 4 cm array with
+    speech-band energy, where every steering vector is near the target's
+    at the energetic bins. Unconstrained eigvec nulls measured -2.3 dB
+    SIR at +22 dB WNG here; the constrained design must stay
+    net-positive, target-transparent, and inside the WNG budget at every
+    n_nulls."""
+    rows = _nullsteer_physical_study(0.04, (150.0, 220.0, 120.0, 260.0),
+                                     (1, 2, 3))
+    for J, r in rows.items():
+        assert abs(r["tgt_db"]) < 0.1, (J, r)
+        assert r["wng_db"] < 10.5, (J, r)
+        assert r["sir_db"] > 0.0, (J, r)
+
+
+def test_rmvb_m4_protects_mismatched_target():
+    """Li-Stoica-Wang RCB at M=4 through the Jacobi EVD: SOI-dominant
+    covariance with a mismatched nominal steering — RCB must restore
+    near-unity target gain where plain MVDR self-cancels (the same
+    contract tests/test_rmvb.py pins at M=2)."""
+    from azoom.beam.rmvb import rmvb_weights
+
+    phase_true = np.exp(1j * 0.3 * np.arange(4))
+    phase_nom = np.exp(1j * 0.45 * np.arange(4))
+    a = phase_true
+    dn = phase_nom
+    bi = np.exp(1j * -1.2 * np.arange(4))
+    R = (
+        10 * np.outer(a, a.conj())
+        + np.outer(bi, bi.conj())
+        + 0.01 * np.eye(4)
+    )
+    Rj = jnp.asarray(R[None], jnp.complex64)
+    dj = jnp.asarray(dn[None], jnp.complex64)
+    w_r = np.asarray(rmvb_weights(Rj, dj, 0.5, 1e-7))[0]
+    w_m = np.asarray(mvdr_weights(Rj, dj, 1e-7))[0]
+    assert np.all(np.isfinite(w_r.view(np.float32)))
+
+    def gains(w):
+        return abs(np.vdot(w, a)), abs(np.vdot(w, bi))
+
+    gt_r, gi_r = gains(w_r)
+    gt_m, gi_m = gains(w_m)
+    assert abs(gt_r - 1.0) < 0.1  # target protected
+    assert gt_r > gt_m + 0.1  # mismatch-MVDR loses target gain
+    assert gi_r < 0.35  # interferer suppressed (>-9 dB at unit target gain)
+
+
+def test_rmvb_beamforms_at_m4():
+    """Masked RMVB end-to-end on a 4-mic 3-interferer scene: finite and
+    strongly improving."""
+    from azoom.beam.rmvb import rmvb_beamform
+    from azoom.dsp.stft import istft, stft
+    from azoom.eval.projection import osinr_osir
+    from azoom.masks.oracle import ibm_noise_mask
+
+    cfg = PipelineConfig(n_mics=4, mic_dist=0.04)
+    sc = _three_interferer_scene(4)
+    Y = stft(sc["mixture"], cfg.n_fft, cfg.hop)
+    nm = ibm_noise_mask(
+        stft(sc["target_ref"], cfg.n_fft, cfg.hop),
+        stft(sc["interference_ref"], cfg.n_fft, cfg.hop),
+    )
+    freqs = rfft_freqs(cfg.n_fft, cfg.fs)
+    d = steering_vector(freqs, 90.0, cfg.mic_dist, cfg.c, 4)
+    S = rmvb_beamform(Y, nm, d, freqs, sigma=cfg.sigma) * (1.0 - nm)
+    out = istft(S, cfg.n_fft, cfg.hop, length=sc["target_ref"].shape[-1])
+    assert np.all(np.isfinite(np.asarray(out)))
+    _, sir_out = osinr_osir(out, sc["target_ref"], sc["interference_ref"])
+    _, sir_in = osinr_osir(
+        sc["mixture"][0], sc["target_ref"], sc["interference_ref"]
+    )
+    assert float(sir_out - sir_in) > 10.0
