@@ -136,7 +136,11 @@ def ipd_angle_histogram(
     approach work (readme.md:19-23), applied to localization.
 
     Args:
-      Y: complex STFT (..., 2, F, T).
+      Y: complex STFT (..., M, F, T); M >= 2. A uniform linear array's
+        adjacent pairs all share the spacing ``mic_dist``, so their
+        cross-spectra are coherently averaged before the angle read-out —
+        identical to the 2-mic formula at M = 2, and an (M-1)-fold
+        phase-noise average on larger arrays.
       band_hz: (lo, hi); hi=None caps at the spatial-aliasing limit
         c / (2 mic_dist).
 
@@ -148,7 +152,9 @@ def ipd_angle_histogram(
     hi = band_hz[1] if band_hz[1] is not None else c / (2.0 * mic_dist)
     valid = (freqs >= band_hz[0]) & (freqs <= hi)
 
-    cross = Y[..., 0, :, :] * jnp.conj(Y[..., 1, :, :])  # (..., F, T)
+    cross = jnp.mean(
+        Y[..., :-1, :, :] * jnp.conj(Y[..., 1:, :, :]), axis=-3
+    )  # (..., F, T)
     ipd = jnp.angle(cross + 1e-20)
     # Geometry (azoom.dsp.delays): tau0 - tau1 = d cos(theta) / c and
     # IPD = -2 pi f (tau0 - tau1)  =>  cos(theta) = -IPD c / (2 pi f d).

@@ -602,3 +602,26 @@ def test_rmvb_beamforms_at_m4():
         sc["mixture"][0], sc["target_ref"], sc["interference_ref"]
     )
     assert float(sir_out - sir_in) > 10.0
+
+
+def test_doa_histogram_and_autosteer_at_m4():
+    """Blind product path at M=4: the IPD-histogram DOA (now coherently
+    averaged over all adjacent pairs) localizes the in-FOV talker, and
+    autosteer_enhance runs the full camera->DOA->enhance chain finite."""
+    from azoom.localize.srp import ipd_angle_histogram
+    from azoom.dsp.stft import stft
+    from azoom.pipelines.autosteer import autosteer_enhance
+
+    cfg = PipelineConfig(n_mics=4, mic_dist=0.04)
+    sc = _three_interferer_scene(4)
+    Y = stft(sc["mixture"], cfg.n_fft, cfg.hop)
+    angles, hist = ipd_angle_histogram(Y, cfg.mic_dist, cfg.fs)
+    fov = (np.asarray(angles) > 75) & (np.asarray(angles) < 105)
+    h = np.asarray(hist)
+    peak = float(np.asarray(angles)[fov][np.argmax(h[fov])])
+    assert abs(peak - 90.0) < 8.0, peak
+
+    out, theta = autosteer_enhance(sc["mixture"], cfg, fov_center_deg=95.0,
+                                   fov_width_deg=40.0)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert 75.0 <= float(theta) <= 115.0
