@@ -84,3 +84,31 @@ def test_zoom_api_with_bundled_model():
     _, sir = osinr_osir(jnp.asarray(out), sc["target_ref"], sc["interference_ref"])
     _, sir_in = osinr_osir(sc["mixture"][0], sc["target_ref"], sc["interference_ref"])
     assert float(sir) - float(sir_in) > 10.0
+
+
+def test_zoom_api_m4_array():
+    """Product facade on a 4-mic array: cfg.n_mics drives buffering and
+    every enhancement path is M-general — the blind autosteered learned
+    zoom must run and strongly improve a 3-interferer scene."""
+    import jax
+
+    from azoom.config import PipelineConfig
+    from azoom.eval.projection import osinr_osir
+    from azoom.sim.farfield import make_scene
+    from azoom.sim.signals import speech_like
+
+    cfg = PipelineConfig(n_mics=4, mic_dist=0.04)
+    k = jax.random.split(jax.random.PRNGKey(11), 4)
+    tgt = speech_like(k[0], 32_000, cfg.fs, 150.0)
+    ints = jnp.stack([speech_like(k[1], 32_000, cfg.fs, 220.0),
+                      speech_like(k[2], 32_000, cfg.fs, 120.0),
+                      speech_like(k[3], 32_000, cfg.fs, 260.0)])
+    sc = make_scene(tgt, ints, 90.0, jnp.asarray([30.0, 135.0, 60.0]),
+                    cfg.mic_dist, cfg.fs, n_mics=4)
+
+    az = AudioZoom(cfg=cfg, model="fpu_multigeo")
+    out = az.enhance(np.asarray(sc["mixture"]))
+    assert np.all(np.isfinite(out))
+    _, sir = osinr_osir(jnp.asarray(out), sc["target_ref"], sc["interference_ref"])
+    _, sir_in = osinr_osir(sc["mixture"][0], sc["target_ref"], sc["interference_ref"])
+    assert float(sir) - float(sir_in) > 10.0
