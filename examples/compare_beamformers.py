@@ -44,22 +44,29 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--reverb", action="store_true")
     p.add_argument("--seconds", type=float, default=2.0)
+    p.add_argument("--mics", type=int, default=2,
+                   help="uniform linear array size (every beamformer is "
+                        "M-general; try --mics 4 to watch the extra "
+                        "spatial nulls pay)")
     args = p.parse_args()
 
     n = int(args.seconds * 16_000)
     if args.reverb:
-        cfg = PipelineConfig(mic_dist=0.08, sigma=1e-6)
+        from azoom.config import RoomConfig
+
+        cfg = PipelineConfig(mic_dist=0.08, sigma=1e-6, n_mics=args.mics)
         sc = generate_scene(
             jax.random.PRNGKey(0),
             SceneSpec(reverb=True, n_interferers=2, duration_s=args.seconds),
+            room=RoomConfig().with_linear_array(args.mics, 0.08),
             max_order=6,
         )
     else:
-        cfg = PipelineConfig(mic_dist=0.04)
+        cfg = PipelineConfig(mic_dist=0.04, n_mics=args.mics)
         sigs = speech_like_batch(jax.random.PRNGKey(0), 3, n, cfg.fs)
         sc = make_scene(
             sigs[0], sigs[1:], 90.0, jnp.asarray([40.0, 130.0]),
-            cfg.mic_dist, cfg.fs,
+            cfg.mic_dist, cfg.fs, n_mics=args.mics,
         )
 
     mix, tgt, itf = sc["mixture"], sc["target_ref"], sc["interference_ref"]
