@@ -60,10 +60,18 @@ def logmag_ipd_features(
 def physics_aware_features(
     Y: jnp.ndarray, ipd_scale: float | jnp.ndarray = 1.0
 ) -> jnp.ndarray:
-    """Stereo STFT (..., 2, F, T) -> features (..., F, T, 4):
-    [log|Y0|, sin(ipd_scale*IPD), cos(ipd_scale*IPD), freq_map]."""
+    """STFT (..., M, F, T) -> features (..., F, T, 4):
+    [log|Y0|, sin(ipd_scale*IPD), cos(ipd_scale*IPD), freq_map].
+
+    At M > 2 the cross-spectrum is coherently averaged over all adjacent
+    pairs of the uniform array (they share the spacing, so they measure
+    the same IPD plus independent noise — the same (M-1)-fold average the
+    DOA histogram uses, azoom.localize.srp). sin/cos are taken of the
+    averaged phase, so the features are bit-identical at M = 2 and the
+    2-mic-trained artifacts see a cleaner version of exactly the cue
+    distribution they were trained on."""
     logmag = jnp.log(jnp.abs(Y[..., 0, :, :]) + _EPS)
-    cross = Y[..., 0, :, :] * jnp.conj(Y[..., 1, :, :])
+    cross = jnp.mean(Y[..., :-1, :, :] * jnp.conj(Y[..., 1:, :, :]), axis=-3)
     if isinstance(ipd_scale, (int, float)) and float(ipd_scale) == 1.0:
         # sin/cos of IPD without computing angles: Y0 * conj(Y1) has
         # phase = IPD (cheaper: no arctan on the hot path).

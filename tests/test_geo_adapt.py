@@ -133,3 +133,46 @@ def test_room_with_mic_dist():
     assert y0 == y1 and z0 == z1
     # Same center as the default pair.
     assert abs((x0 + x1) / 2 - 2.45) < 1e-9
+
+
+def test_physics_features_pair_average_m4():
+    """At M>2 the physics features average the cross-spectrum over all
+    adjacent pairs; at M=2 they are bit-identical to the single-pair
+    formula, and under per-mic phase noise the averaged IPD estimate is
+    strictly closer to the true plane-wave IPD."""
+    import jax
+
+    from azoom.masks.features import physics_aware_features
+
+    key = jax.random.PRNGKey(0)
+    F, T = 129, 24
+    true_ipd = jnp.linspace(-2.5, 2.5, F)[:, None] * jnp.ones((F, T))
+    mag = jnp.ones((F, T))
+
+    def mic(m, noise):
+        phase = -m * true_ipd + noise[m]
+        return mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+    noise = 0.6 * jax.random.normal(key, (4, F, T))
+    Y4 = jnp.stack([mic(m, noise) for m in range(4)])
+    Y2 = Y4[:2]
+
+    # M=2: identical to the direct single-pair formula.
+    f2 = physics_aware_features(Y2)
+    cross = Y2[0] * jnp.conj(Y2[1])
+    np.testing.assert_array_equal(
+        np.asarray(f2[..., 1]),
+        np.asarray(cross.imag / (jnp.abs(cross) + 1e-12)),
+    )
+
+    # M=4: averaged estimate beats the first pair against the truth.
+    f4 = physics_aware_features(Y4)
+    err4 = np.mean(
+        (np.asarray(f4[..., 1]) - np.asarray(jnp.sin(true_ipd))) ** 2
+    )
+    err2 = np.mean(
+        (np.asarray(f2[..., 1]) - np.asarray(jnp.sin(true_ipd))) ** 2
+    )
+    assert err4 < 0.6 * err2, (err4, err2)
+    assert f4.shape == (F, T, 4)
+    assert np.all(np.isfinite(np.asarray(f4)))
