@@ -33,7 +33,10 @@ def bin_doa(
     F = Y.shape[-2]
     n_fft = 2 * (F - 1)
     freqs = jnp.arange(F, dtype=jnp.float32) * (fs / n_fft)
-    cross = Y[..., 0, :, :] * jnp.conj(Y[..., 1, :, :])
+    # Adjacent pairs of a uniform array share the spacing: averaging
+    # their cross-spectra is an (M-1)-fold coherent phase-noise average
+    # (identical at M = 2 — the mean of one pair).
+    cross = jnp.mean(Y[..., :-1, :, :] * jnp.conj(Y[..., 1:, :, :]), axis=-3)
     ipd = jnp.angle(cross + 1e-20)
     cos_t = -ipd * c / (2.0 * jnp.pi * jnp.maximum(freqs, 1.0)[:, None] * mic_dist)
     alias_ok = (freqs[:, None] <= c / (2.0 * mic_dist)) & (freqs[:, None] > 0)

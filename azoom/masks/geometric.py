@@ -17,9 +17,22 @@ __all__ = ["ipd", "hard_geometric_noise_mask", "fov_noise_gate", "apply_fov_gate
 
 
 def ipd(Y: jnp.ndarray) -> jnp.ndarray:
-    """Inter-channel phase difference angle(Y0) - angle(Y1) of a stereo STFT
-    Y (..., 2, F, T) -> (..., F, T)."""
-    return jnp.angle(Y[..., 0, :, :]) - jnp.angle(Y[..., 1, :, :])
+    """Inter-channel phase difference of an STFT Y (..., M, F, T) ->
+    (..., F, T).
+
+    M = 2 keeps the reference's raw angle difference
+    angle(Y0) - angle(Y1) (range (-2pi, 2pi) — masked_mvdr.py:41's
+    convention, which the thresholds downstream were tuned against).
+    M > 2 returns the principal-value phase of the cross-spectrum
+    coherently averaged over all adjacent pairs (same spacing on a
+    uniform array -> same IPD plus independent noise; the same
+    (M-1)-fold average the DOA histogram and the physics features use).
+    Every M-general consumer wraps or thresholds the value, so the
+    principal-value range is compatible."""
+    if Y.shape[-3] == 2:
+        return jnp.angle(Y[..., 0, :, :]) - jnp.angle(Y[..., 1, :, :])
+    cross = jnp.mean(Y[..., :-1, :, :] * jnp.conj(Y[..., 1:, :, :]), axis=-3)
+    return jnp.angle(cross + 1e-20)
 
 
 def hard_geometric_noise_mask(

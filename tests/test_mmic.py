@@ -625,3 +625,23 @@ def test_doa_histogram_and_autosteer_at_m4():
                                    fov_width_deg=40.0)
     assert np.all(np.isfinite(np.asarray(out)))
     assert 75.0 <= float(theta) <= 115.0
+
+
+def test_heuristic_blind_path_gains_from_m4():
+    """The geometric IPD mask reads the averaged cross-spectrum at M>2
+    (masks.geometric.ipd / masks.duet.bin_doa): the fully blind heuristic
+    pipeline must beat its own 2-mic result on the same scene."""
+    from azoom.eval.projection import osinr_osir
+    from azoom.pipelines.oracle import heuristic_enhance
+
+    gains = {}
+    for M in (2, 4):
+        cfg = PipelineConfig(n_mics=M, mic_dist=0.04)
+        sc = _three_interferer_scene(M, n=32_000)
+        out = heuristic_enhance(sc["mixture"], cfg)
+        _, sir = osinr_osir(out, sc["target_ref"], sc["interference_ref"])
+        _, sir_in = osinr_osir(
+            sc["mixture"][0], sc["target_ref"], sc["interference_ref"]
+        )
+        gains[M] = float(sir - sir_in)
+    assert gains[4] > gains[2] + 3.0, gains
