@@ -35,25 +35,37 @@ _EPS = 1e-7
 def logmag_ipd_features(
     Y: jnp.ndarray, ipd_scale: float | jnp.ndarray = 1.0
 ) -> jnp.ndarray:
-    """Stereo STFT (..., 2, F, T) -> features (..., F, T, 2):
+    """STFT (..., M, F, T) -> features (..., F, T, 2):
     [log|Y0|, IPD * ipd_scale].
 
-    ipd_scale == 1 keeps the training-time convention (raw angle
-    difference, range (-2pi, 2pi) — what every bundled 2-ch artifact was
-    trained on). ipd_scale != 1 is geometry adaptation: there the raw
-    difference is unusable (its +-2pi phase-straddle jitter would be
-    amplified by the scale into wild feature values), so the cue is the
-    principal-value IPD (angle of Y0*conj(Y1)) scaled and re-wrapped to
-    [-pi, pi) — exactly the principal-value IPD the training-spacing
-    array would have measured for the same source, below the actual
-    array's aliasing limit."""
+    M == 2 with ipd_scale == 1 keeps the training-time convention (raw
+    angle difference, range (-2pi, 2pi) — what every bundled 2-ch
+    artifact was trained on). ipd_scale != 1 is geometry adaptation:
+    there the raw difference is unusable (its +-2pi phase-straddle
+    jitter would be amplified by the scale into wild feature values), so
+    the cue is the principal-value IPD (angle of Y0*conj(Y1)) scaled and
+    re-wrapped to [-pi, pi) — exactly the principal-value IPD the
+    training-spacing array would have measured for the same source,
+    below the actual array's aliasing limit.
+
+    M > 2 always uses the principal-value phase of the cross-spectrum
+    coherently averaged over all adjacent pairs (same spacing on a
+    uniform array). The principal-value range is a narrowing, not a
+    shift, of the raw-difference training distribution, and the
+    (M-1)-fold phase-noise average dominates: measured with the bundled
+    2-ch `fpu_multigeo` at M=4/K=3, +1.96 dB reverb and +2.87 dB under
+    10 dB sensor noise vs reading the first pair raw (RESULTS.md)."""
     logmag = jnp.log(jnp.abs(Y[..., 0, :, :]) + _EPS)
-    if isinstance(ipd_scale, (int, float)) and float(ipd_scale) == 1.0:
+    unit_scale = isinstance(ipd_scale, (int, float)) and float(ipd_scale) == 1.0
+    if Y.shape[-3] == 2 and unit_scale:
         ipd = jnp.angle(Y[..., 0, :, :]) - jnp.angle(Y[..., 1, :, :])
     else:
-        cross = Y[..., 0, :, :] * jnp.conj(Y[..., 1, :, :])
-        scaled = jnp.angle(cross + 1e-20) * ipd_scale
-        ipd = jnp.mod(scaled + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+        cross = jnp.mean(
+            Y[..., :-1, :, :] * jnp.conj(Y[..., 1:, :, :]), axis=-3
+        )
+        ipd = jnp.angle(cross + 1e-20)
+        if not unit_scale:
+            ipd = jnp.mod(ipd * ipd_scale + jnp.pi, 2.0 * jnp.pi) - jnp.pi
     return jnp.stack([logmag, ipd], axis=-1)
 
 

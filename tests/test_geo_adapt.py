@@ -176,3 +176,26 @@ def test_physics_features_pair_average_m4():
     assert err4 < 0.6 * err2, (err4, err2)
     assert f4.shape == (F, T, 4)
     assert np.all(np.isfinite(np.asarray(f4)))
+
+
+def test_logmag_ipd_features_m_general():
+    """2-ch feature stack at M>2: principal-value averaged IPD, finite,
+    in [-pi, pi); the M=2 unit-scale path keeps the raw-difference
+    training convention bit-for-bit."""
+    import jax
+
+    from azoom.masks.features import logmag_ipd_features
+
+    k = jax.random.split(jax.random.PRNGKey(1), 2)
+    Y4 = (jax.random.normal(k[0], (4, 65, 12))
+          + 1j * jax.random.normal(k[1], (4, 65, 12))).astype(jnp.complex64)
+    f4 = logmag_ipd_features(Y4)
+    assert f4.shape == (65, 12, 2)
+    ipd4 = np.asarray(f4[..., 1])
+    assert np.all(np.isfinite(ipd4))
+    assert ipd4.min() >= -np.pi - 1e-6 and ipd4.max() <= np.pi + 1e-6
+
+    Y2 = Y4[:2]
+    f2 = logmag_ipd_features(Y2)
+    raw = np.asarray(jnp.angle(Y2[0]) - jnp.angle(Y2[1]))
+    np.testing.assert_array_equal(np.asarray(f2[..., 1]), raw)
