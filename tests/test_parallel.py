@@ -153,3 +153,25 @@ def test_learned_sweep_snr_axis():
     ic, inz = np.asarray(clean["sir_imp"]), np.asarray(noisy["sir_imp"])
     assert np.isfinite(ic).all() and np.isfinite(inz).all()
     assert inz.mean() < ic.mean()
+
+
+def test_learned_sweep_m4_beamformer_matrix(devices8):
+    """The round-3 M-general surface, sharded: rmvb / hard_null / rtf at
+    M=4 each sweep on the mesh with zero failures (the 2x2 closed forms
+    replaced by the unrolled Cholesky/Jacobi paths end to end)."""
+    from azoom.models.pretrained import load_pretrained_fpu
+    from azoom.parallel.sweep import learned_sweep
+
+    model, variables = load_pretrained_fpu()
+    cfg = PipelineConfig(n_mics=4, mic_dist=0.04)
+    mesh = make_mesh(devices=devices8)
+    for bf in ("rmvb", "hard_null", "rtf"):
+        with mesh:
+            res = sharded_sweep(
+                learned_sweep, jax.random.PRNGKey(2), mesh, 8, cfg, model,
+                variables, n_samples=8_192, n_interferers=3, reverb=False,
+                randomize=True, beamformer=bf,
+            )
+        s = sweep_summary(res)
+        assert s["sir_imp"]["n_failed"] == 0, (bf, s["sir_imp"])
+        assert s["sir_imp"]["mean"] > 3.0, (bf, s["sir_imp"])
