@@ -48,11 +48,12 @@ class AudioZoom:
         blind autosteer pipeline under the current zoom state.
       model: optional bundled mask-net name ('fpu', 'fpu_reverb',
         'fpu_multigeo', 'deepfpu', 'tpufpu', 'tpufpu_slim',
-        'crn_causal') — routes enhancement through the learned pipeline.
-        'tpufpu_slim' is the serving flagship (slim-bottleneck, ~1.3x
-        tpufpu's speed at equal-or-better held-out quality); geometry
-        adaptation handles arrays smaller than the 4 cm training
-        spacing automatically.
+        'tpufpu_nano', 'crn_causal') — routes enhancement through the
+        learned pipeline. 'tpufpu_nano' is the serving flagship
+        (distilled half-width encoder+decoder, 1.76x the slim net's
+        speed at equal quality); geometry adaptation handles arrays
+        smaller than the 4 cm training spacing automatically, and
+        cfg.n_mics > 2 runs the whole stack on a larger linear array.
       int8: serve the mask net on the int8-MXU path (calibrated static
         activation scales — the benchmarked flagship configuration;
         within ~0.2 dB blind SIR of float, 1.5x the throughput).
