@@ -101,6 +101,9 @@ def main():
         candidates["learned FPU + WPD"] = learned_enhance(
             mix, model, variables, cfg, beamformer="wpd", feature_kind=kind
         )
+        candidates["learned FPU + RTF (geo-free)"] = learned_enhance(
+            mix, model, variables, cfg, beamformer="rtf", feature_kind=kind
+        )
     except FileNotFoundError:
         pass
     try:
@@ -115,12 +118,12 @@ def main():
     refs = jnp.stack([tgt, itf])
     print(f"\ninput SIR: {float(sir_in):6.2f} dB"
           f"  ({'reverb' if args.reverb else 'anechoic'} scene)\n")
-    print(f"{'method':26s} {'dSIR':>8s} {'STOI':>7s} {'BSS-SDR':>8s}")
+    print(f"{'method':28s} {'dSIR':>8s} {'STOI':>7s} {'BSS-SDR':>8s}")
     for name, out in candidates.items():
         _, sir = osinr_osir(out, tgt, itf)
         st = stoi(tgt, out, cfg.fs)
         bss = bss_eval_sources(refs, out, filter_len=256)
-        print(f"{name:26s} {float(sir - sir_in):+8.2f} {float(st):7.3f} "
+        print(f"{name:28s} {float(sir - sir_in):+8.2f} {float(st):7.3f} "
               f"{float(bss['sdr']):8.2f}")
 
 
