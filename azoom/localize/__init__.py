@@ -6,6 +6,7 @@ from azoom.localize.srp import (
     srp_localize,
     srp_map,
 )
+from azoom.localize.tracking import ema_track, viterbi_track
 
 __all__ = [
     "gcc_phat_localize",
@@ -14,4 +15,6 @@ __all__ = [
     "ipd_histogram_localize",
     "srp_localize",
     "srp_map",
+    "ema_track",
+    "viterbi_track",
 ]

@@ -1,0 +1,153 @@
+"""DOA tracking over time: smooth azimuth trajectories from noisy
+per-chunk angular spectra.
+
+The reference localizes once per recording (scripts/debug_srp.py scans a
+whole file); azoom's autosteer (azoom.pipelines.autosteer) likewise uses
+one whole-utterance DOA. A moving talker / panning camera needs a
+*trajectory*: per-chunk angular spectra (azoom.localize.srp.
+ipd_angle_histogram) are noisy — a chunk where an interferer out-talks the
+target votes for the wrong mode — so the per-chunk argmax zig-zags. The
+trackers here impose temporal coherence:
+
+- `viterbi_track` (offline / utmost accuracy): the max-a-posteriori angle
+  path through the (chunk x angle) trellis under a Gaussian angular-rate
+  motion model. TPU shape: the trellis step is a dense (A, A) max-plus
+  product inside a lax.scan — the angle axis stays a vector lane axis, no
+  data-dependent control flow.
+- `ema_track` (causal / streaming): gated-peak pick + exponential
+  smoothing. Each chunk only looks at histogram mass within a rate-limited
+  window around the previous estimate, which rejects interferer-mode
+  capture; suitable for the low-latency path where future chunks don't
+  exist yet.
+
+Both accept the camera field-of-view as a scalar or a per-chunk array
+(a panning camera is a trajectory of FOV centers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["viterbi_track", "ema_track"]
+
+
+def _emissions(
+    angles: jnp.ndarray,
+    hists: jnp.ndarray,
+    fov_center_deg,
+    fov_width_deg: float,
+    floor: float,
+) -> jnp.ndarray:
+    """Log-probability emissions (C, A) from raw histograms, FOV-gated.
+
+    Each chunk's histogram is normalized to a distribution over angles;
+    a floor keeps silent/ambiguous chunks from dominating the path with
+    -inf spikes. fov_center_deg may be a scalar or (C,) trajectory.
+    """
+    hists = jnp.maximum(hists, 0.0)
+    p = hists / (jnp.sum(hists, axis=-1, keepdims=True) + 1e-20)
+    emis = jnp.log(p + floor)
+    if fov_center_deg is not None:
+        center = jnp.asarray(fov_center_deg, jnp.float32)
+        in_fov = (
+            jnp.abs(angles - center[..., None]) <= fov_width_deg / 2.0
+        )  # (A,) or (C, A)
+        emis = jnp.where(in_fov, emis, -1e9)
+    return emis
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fov_width_deg", "trans_sigma_deg", "floor")
+)
+def viterbi_track(
+    angles: jnp.ndarray,
+    hists: jnp.ndarray,
+    trans_sigma_deg: float = 12.0,
+    fov_center_deg: float | jnp.ndarray | None = None,
+    fov_width_deg: float = 180.0,
+    floor: float = 1e-6,
+) -> jnp.ndarray:
+    """MAP angle path through the chunk-time angular-spectrum trellis.
+
+    Args:
+      angles: (A,) the angle grid of the histograms (degrees).
+      hists: (C, A) per-chunk angular spectra (non-negative; e.g.
+        ipd_angle_histogram per 2 s chunk).
+      trans_sigma_deg: motion-model scale — the Gaussian log-penalty on the
+        azimuth change between consecutive chunks. 12 deg/chunk at a 1 s
+        chunk hop admits a fast walking talker (~1 m/s at 2 m range)
+        while suppressing mode-hops to interferers tens of degrees away.
+      fov_center_deg / fov_width_deg: optional camera FOV gate; center may
+        be a per-chunk (C,) trajectory (panning camera).
+      floor: emission probability floor (silent-chunk robustness).
+
+    Returns: (C,) tracked azimuth per chunk (degrees).
+    """
+    emis = _emissions(angles, hists, fov_center_deg, fov_width_deg, floor)
+    emis = jnp.broadcast_to(emis, hists.shape)  # (C, A)
+    diff = angles[:, None] - angles[None, :]  # (A_prev -> A_next)
+    trans = -0.5 * (diff / trans_sigma_deg) ** 2  # (A, A)
+
+    def step(score_prev, emis_c):
+        # score_prev: (A,) best log-prob of any path ending at each angle.
+        cand = score_prev[:, None] + trans  # (A_prev, A_next)
+        bp = jnp.argmax(cand, axis=0)  # (A_next,)
+        score = jnp.max(cand, axis=0) + emis_c
+        # Re-zero to keep scores from drifting to -inf on long streams.
+        score = score - jnp.max(score)
+        return score, bp
+
+    score0 = emis[0] - jnp.max(emis[0])
+    score_last, bps = jax.lax.scan(step, score0, emis[1:])  # bps (C-1, A)
+
+    last = jnp.argmax(score_last)
+
+    def back(idx, bp):
+        prev = bp[idx]
+        return prev, idx
+
+    _, path_rev = jax.lax.scan(back, last, bps, reverse=True)
+    path = jnp.concatenate([path_rev, jnp.asarray([last])])
+    return angles[path]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rate_deg_per_chunk", "alpha", "fov_width_deg", "floor"),
+)
+def ema_track(
+    angles: jnp.ndarray,
+    hists: jnp.ndarray,
+    rate_deg_per_chunk: float = 20.0,
+    alpha: float = 0.6,
+    fov_center_deg: float | jnp.ndarray | None = None,
+    fov_width_deg: float = 180.0,
+    floor: float = 1e-6,
+) -> jnp.ndarray:
+    """Causal tracker: rate-gated peak pick + exponential smoothing.
+
+    The first chunk initializes from the (FOV-gated) global peak; each
+    later chunk picks the histogram peak within ±rate_deg_per_chunk of the
+    previous estimate (rejecting interferer-mode capture) and blends
+    ``theta <- alpha * peak + (1 - alpha) * theta``. Runs as a lax.scan —
+    usable chunk-by-chunk in the streaming/low-latency runtime.
+
+    Returns: (C,) tracked azimuth per chunk (degrees).
+    """
+    emis = _emissions(angles, hists, fov_center_deg, fov_width_deg, floor)
+    emis = jnp.broadcast_to(emis, hists.shape)
+    theta0 = angles[jnp.argmax(emis[0])]
+
+    def step(theta, emis_c):
+        gated = jnp.where(
+            jnp.abs(angles - theta) <= rate_deg_per_chunk, emis_c, -1e9
+        )
+        peak = angles[jnp.argmax(gated)]
+        theta = alpha * peak + (1.0 - alpha) * theta
+        return theta, theta
+
+    _, path = jax.lax.scan(step, theta0, emis[1:])
+    return jnp.concatenate([theta0[None], path])

@@ -61,6 +61,13 @@ class AudioZoom:
         blind DOA histogram inside the camera FOV before steering the net
         (the full camera -> DOA -> learned-mask product path). False
         steers exactly at ``direction_deg``.
+      track: follow a MOVING talker (azoom.pipelines.tracked). Whole-clip
+        ``enhance()`` runs the Viterbi MAP bearing track over the chunk
+        trellis; streaming ``push()`` carries a causal rate-gated EMA
+        tracker across windows, so the beam follows the talker from one
+        window to the next instead of re-locking from scratch (or, with
+        ``track=False``, assuming one fixed bearing). latency='high'
+        paths only (the low-latency CRN steers at ``direction_deg``).
       latency: 'high' (2 s windows, best quality) or 'low' (hop-level
         causal streaming, 32-64 ms; requires a causal model — defaults to
         'crn_causal' when none is given).
@@ -81,6 +88,7 @@ class AudioZoom:
     model: str | None = None
     int8: bool = False
     autosteer: bool = True
+    track: bool = False
     latency: str = "high"
     native: bool = True
     dsp_precision: str = "exact"
@@ -134,10 +142,50 @@ class AudioZoom:
             sigma=self.sigma, angle_target_deg=self.direction_deg
         )
 
+    def _update_track(self, window: jnp.ndarray, cfg) -> float:
+        """Causal per-window bearing update: DOA histogram gated to the
+        camera FOV AND a rate window around the previous estimate, then an
+        EMA blend (the ema_track step, carried across push() windows)."""
+        from azoom.dsp.stft import stft
+        from azoom.localize.srp import ipd_angle_histogram
+
+        Y = stft(window, cfg.n_fft, cfg.hop)
+        angles, hist = ipd_angle_histogram(Y, cfg.mic_dist, cfg.fs, c=cfg.c)
+        angles, hist = np.asarray(angles), np.asarray(hist)
+        gate = np.abs(angles - self.direction_deg) <= self.fov_deg / 2.0
+        if self._track_theta is None:
+            peak = float(angles[np.argmax(np.where(gate, hist, -np.inf))])
+            self._track_theta = peak
+        else:
+            rate = np.abs(angles - self._track_theta) <= 24.0
+            gated = np.where(gate & rate, hist, -np.inf)
+            if np.isfinite(gated).any():
+                peak = float(angles[np.argmax(gated)])
+                self._track_theta = 0.6 * peak + 0.4 * self._track_theta
+        return self._track_theta
+
     def _enhance_window(self, window: jnp.ndarray) -> jnp.ndarray:
         cfg = self._zoom_cfg()
         if self.enhance_fn is not None:
             return self.enhance_fn(window)
+        if self.track and (
+            self._mask_net is None
+            or not hasattr(self._mask_net[0], "initial_carries")
+        ):
+            theta = self._update_track(window, cfg)
+            if self._mask_net is not None:
+                from azoom.pipelines.learned import learned_enhance
+
+                net, variables, feats = self._mask_net
+                return learned_enhance(
+                    window, net, variables, cfg, feature_kind=feats,
+                    steer_deg=jnp.float32(theta), fov_deg=float(self.fov_deg),
+                    train_mic_dist=self._train_mic_dist,
+                    dsp_precision=self.dsp_precision,
+                )
+            from azoom.pipelines.tracked import steered_heuristic_enhance
+
+            return steered_heuristic_enhance(window, cfg, jnp.float32(theta))
         if self._mask_net is not None:
             net, variables, feats = self._mask_net
             if self.autosteer and not hasattr(net, "initial_carries"):
@@ -176,12 +224,41 @@ class AudioZoom:
     # -- whole-clip ---------------------------------------------------------
 
     def enhance(self, mixture) -> np.ndarray:
-        """Whole-clip enhancement: (M, n) -> (n,) numpy."""
-        return to_numpy(self._enhance_window(jnp.asarray(mixture)))
+        """Whole-clip enhancement: (M, n) -> (n,) numpy.
+
+        With ``track=True`` the clip is chunked and the Viterbi MAP
+        bearing track steers every chunk at its own estimate (the
+        moving-talker path, azoom.pipelines.tracked); otherwise one
+        whole-clip program."""
+        mixture = jnp.asarray(mixture)
+        if (
+            self.track
+            and self.enhance_fn is None
+            and self.latency == "high"
+            and mixture.shape[-1] > self.cfg.win_size
+        ):
+            from azoom.pipelines.tracked import tracked_autosteer_enhance
+
+            kwargs = {}
+            if self._mask_net is not None:
+                net, variables, feats = self._mask_net
+                kwargs = dict(
+                    model=net, variables=variables, feature_kind=feats,
+                    train_mic_dist=self._train_mic_dist,
+                    dsp_precision=self.dsp_precision,
+                )
+            out, _ = tracked_autosteer_enhance(
+                mixture, self._zoom_cfg(),
+                fov_center_deg=self.direction_deg,
+                fov_width_deg=float(self.fov_deg), **kwargs,
+            )
+            return to_numpy(out)
+        return to_numpy(self._enhance_window(mixture))
 
     # -- live streaming -----------------------------------------------------
 
     def _reset_stream(self):
+        self._track_theta = None  # causal tracker state (track=True)
         self._online = None
         if self.latency == "low":
             from azoom.stream.lowlat import OnlineEnhancer
@@ -219,6 +296,7 @@ class AudioZoom:
 
     def reset(self) -> None:
         """Drop all stream state (e.g. on seek or device change)."""
+        self._track_theta = None
         if getattr(self, "_online", None) is not None:
             self._online.reset()
             return

@@ -1,0 +1,113 @@
+"""Moving-talker study (TPU): does tracked zoom beat single-bearing
+autosteer when the target walks?
+
+Scene: 12 s anechoic, target glides 55 -> 125 deg while two interferers
+hold at 25 / 155 deg (all speech_like, 4 cm array — the bundled nets'
+native geometry). Methods:
+
+  static-heur   autosteer_enhance (one whole-utterance DOA, IPD mask)
+  static-nano   autosteer_enhance with the nano net (one DOA)
+  tracked-heur  tracked_autosteer_enhance (Viterbi track, IPD mask)
+  tracked-nano  tracked_autosteer_enhance with the nano net (int8)
+  tracked-ema   causal tracker + nano (the streaming-compatible variant)
+  oracle-steer  tracked-nano steered at the TRUE per-chunk trajectory
+                (tracker replaced by ground truth — the steering ceiling)
+
+Run: timeout 900 python scripts/moving_study.py
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import azoom  # noqa: F401  (compile cache)
+from azoom.config import PipelineConfig
+from azoom.eval.projection import osinr_osir
+from azoom.models.pretrained import load_bundled
+from azoom.pipelines.autosteer import autosteer_enhance
+from azoom.pipelines.tracked import tracked_autosteer_enhance
+from azoom.sim.motion import (
+    linear_trajectory,
+    make_moving_scene,
+    traj_block_count,
+)
+from azoom.sim.signals import speech_like_batch
+
+CFG = PipelineConfig(mic_dist=0.04)
+N = 192_000  # 12 s @ 16 kHz
+FOV_C, FOV_W = 90.0, 100.0
+
+
+def main():
+    model, variables, fkind = load_bundled("tpufpu_nano", quant=True)
+    B = traj_block_count(N, 2048)
+    rows = []
+    for seed in (7, 21, 42):
+        sigs = speech_like_batch(jax.random.PRNGKey(seed), 3, N, CFG.fs)
+        sc = make_moving_scene(
+            sigs[0], sigs[1:], linear_trajectory(55.0, 125.0, B),
+            jnp.asarray([25.0, 155.0]), CFG.mic_dist, CFG.fs,
+        )
+        t_ref, i_ref = sc["target_ref"], sc["interference_ref"]
+        _, sir_in = osinr_osir(sc["mixture"][0], t_ref, i_ref)
+
+        def sir(out):
+            return float(osinr_osir(out, t_ref, i_ref)[1] - sir_in)
+
+        out_sh, th_s = autosteer_enhance(
+            sc["mixture"], CFG, FOV_C, FOV_W)
+        out_sn, _ = autosteer_enhance(
+            sc["mixture"], CFG, FOV_C, FOV_W,
+            model=model, variables=variables, feature_kind=fkind,
+        )
+        out_th, th_t = tracked_autosteer_enhance(
+            sc["mixture"], CFG, FOV_C, FOV_W)
+        out_tn, th_n = tracked_autosteer_enhance(
+            sc["mixture"], CFG, FOV_C, FOV_W,
+            model=model, variables=variables, feature_kind=fkind,
+        )
+        out_te, _ = tracked_autosteer_enhance(
+            sc["mixture"], CFG, FOV_C, FOV_W, tracker="ema",
+            model=model, variables=variables, feature_kind=fkind,
+        )
+        # Steering ceiling: true per-chunk bearing (trajectory midpoint of
+        # each 2 s window).
+        n_chunks = th_n.shape[0]
+        hop = CFG.win_size // 2
+        centers = (jnp.arange(n_chunks) * hop + CFG.win_size / 2) / N
+        true_traj = 55.0 + (125.0 - 55.0) * jnp.clip(centers, 0.0, 1.0)
+        from azoom.pipelines.learned import learned_enhance
+        from azoom.stream.chunker import chunk_signal, overlap_add_chunks
+
+        chunks, _ = chunk_signal(sc["mixture"], CFG.win_size, hop)
+        proc = jax.vmap(
+            lambda ch, th: learned_enhance(
+                ch, model, variables, CFG, feature_kind=fkind, steer_deg=th
+            )
+        )(chunks, true_traj)
+        out_or = overlap_add_chunks(proc, hop, N)
+
+        row = dict(
+            seed=seed, sir_in=float(sir_in),
+            static_heur=sir(out_sh), static_nano=sir(out_sn),
+            tracked_heur=sir(out_th), tracked_nano=sir(out_tn),
+            tracked_ema=sir(out_te), oracle_steer=sir(out_or),
+            static_doa=float(th_s),
+            track=[round(float(x), 1) for x in np.asarray(th_n)],
+        )
+        rows.append(row)
+        print(row, flush=True)
+
+    keys = ["static_heur", "static_nano", "tracked_heur", "tracked_nano",
+            "tracked_ema", "oracle_steer"]
+    print("\nmean SIR improvement (dB) over", len(rows), "scenes:")
+    for k in keys:
+        print(f"  {k:13s} {np.mean([r[k] for r in rows]):+.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Moving-talker tracked zoom: moving-scene synthesis, DOA trackers, and
+the tracked autosteer pipeline (the capability the reference's static
+world builders never exercise)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from azoom.config import PipelineConfig
+from azoom.eval.projection import osinr_osir
+from azoom.localize.tracking import ema_track, viterbi_track
+from azoom.pipelines.autosteer import autosteer_enhance
+from azoom.pipelines.tracked import tracked_autosteer_enhance
+from azoom.sim.farfield import make_scene
+from azoom.sim.motion import (
+    linear_trajectory,
+    make_moving_scene,
+    mix_far_field_moving,
+    traj_block_count,
+)
+from azoom.sim.signals import speech_like_batch
+
+CFG = PipelineConfig(mic_dist=0.08)
+
+
+# ---------------------------------------------------------------- motion sim
+
+
+def test_constant_trajectory_matches_static_mixer():
+    """A constant trajectory must reproduce the static far-field mixer (the
+    block crossfade of identical delays is exact up to the negligible
+    circular-delay edge effect)."""
+    n = 16_000
+    sigs = speech_like_batch(jax.random.PRNGKey(0), 2, n, CFG.fs)
+    B = traj_block_count(n, 2048)
+    traj = jnp.stack([jnp.full((B,), 60.0), jnp.full((B,), 130.0)])
+    moving = mix_far_field_moving(sigs, traj, CFG.mic_dist, CFG.fs)
+
+    from azoom.sim.farfield import mix_far_field
+
+    static = mix_far_field(sigs, jnp.asarray([60.0, 130.0]), CFG.mic_dist, CFG.fs)
+    rel = float(
+        jnp.linalg.norm(moving - static) / (jnp.linalg.norm(static) + 1e-12)
+    )
+    assert rel < 5e-3, rel
+
+
+def test_moving_scene_stems_are_consistent():
+    """mixture channel 0 must equal target_ref + interference_ref (the
+    answer-key decomposition holds for moving sources too)."""
+    n = 16_000
+    sigs = speech_like_batch(jax.random.PRNGKey(1), 3, n, CFG.fs)
+    B = traj_block_count(n, 2048)
+    sc = make_moving_scene(
+        sigs[0], sigs[1:], linear_trajectory(60.0, 120.0, B),
+        jnp.asarray([30.0, 150.0]), CFG.mic_dist, CFG.fs,
+    )
+    resid = sc["mixture"][0] - sc["target_ref"] - sc["interference_ref"]
+    rel = float(
+        jnp.linalg.norm(resid) / (jnp.linalg.norm(sc["mixture"][0]) + 1e-12)
+    )
+    assert rel < 1e-5, rel
+    assert bool(jnp.all(jnp.isfinite(sc["mixture"])))
+
+
+# ------------------------------------------------------------------ trackers
+
+
+def _synthetic_trellis(true_path, distract_at=None, seed=0):
+    """(angles, hists): Gaussian bump at the true angle per chunk, plus an
+    equally-strong distractor mode and noise."""
+    rng = np.random.default_rng(seed)
+    angles = np.linspace(0.0, 180.0, 181, dtype=np.float32)
+    C = len(true_path)
+    hists = np.zeros((C, 181), dtype=np.float32)
+    for c, th in enumerate(true_path):
+        hists[c] += np.exp(-0.5 * ((angles - th) / 6.0) ** 2)
+        if distract_at is not None:
+            # Distractor out-votes the target on every third chunk (an
+            # interferer talking over the target in bursts) but is weak
+            # elsewhere — the argmax mode-hops, the MAP path must not.
+            gain = 1.5 if c % 3 == 1 else 0.25
+            hists[c] += gain * np.exp(
+                -0.5 * ((angles - distract_at) / 6.0) ** 2
+            )
+        hists[c] += 0.02 * rng.random(181).astype(np.float32)
+    return jnp.asarray(angles), jnp.asarray(hists)
+
+
+def test_viterbi_rejects_distractor_mode():
+    true = np.linspace(60.0, 110.0, 12)
+    angles, hists = _synthetic_trellis(true, distract_at=160.0)
+    raw = np.asarray(angles)[np.argmax(np.asarray(hists), axis=-1)]
+    assert np.max(np.abs(raw - true)) > 30.0  # argmax mode-hops
+    path = np.asarray(viterbi_track(angles, hists, trans_sigma_deg=8.0))
+    assert np.max(np.abs(path - true)) < 6.0, path
+
+
+def test_ema_track_is_causal_and_smooth():
+    true = np.linspace(50.0, 100.0, 16)
+    angles, hists = _synthetic_trellis(true, distract_at=165.0, seed=3)
+    path = np.asarray(
+        ema_track(angles, hists, rate_deg_per_chunk=15.0, alpha=0.7)
+    )
+    assert np.max(np.abs(path - true)) < 10.0, path
+    # Rate-limited: no chunk-to-chunk jump beyond the gate.
+    assert np.max(np.abs(np.diff(path))) < 16.0
+
+
+def test_fov_trajectory_gates_per_chunk():
+    """A panning camera: per-chunk FOV centers keep the track inside the
+    moving window even when a fixed window would admit the distractor."""
+    true = np.linspace(40.0, 120.0, 10)
+    # A PERSISTENT distractor as strong as the target: without a prior,
+    # camping on the constant mode is genuinely the MAP path (no
+    # transition cost), so only the camera gate can disambiguate.
+    rng = np.random.default_rng(5)
+    angles = np.linspace(0.0, 180.0, 181, dtype=np.float32)
+    hists = np.stack(
+        [
+            np.exp(-0.5 * ((angles - th) / 6.0) ** 2)
+            + 1.2 * np.exp(-0.5 * ((angles - 160.0) / 6.0) ** 2)
+            + 0.02 * rng.random(181).astype(np.float32)
+            for th in true
+        ]
+    )
+    angles, hists = jnp.asarray(angles), jnp.asarray(hists)
+    static = np.asarray(viterbi_track(angles, hists, trans_sigma_deg=15.0))
+    assert np.max(np.abs(static - true)) > 20.0, static  # captured
+    # The panning 30-deg window centered on the true path excludes the
+    # distractor: the track must stay inside the moving window everywhere.
+    path = np.asarray(
+        viterbi_track(
+            angles, hists, trans_sigma_deg=15.0,
+            fov_center_deg=jnp.asarray(true), fov_width_deg=30.0,
+        )
+    )
+    assert np.max(np.abs(path - true)) <= 16.0, path
+
+
+# ------------------------------------------------------------ full pipeline
+
+
+def _moving_scene(n=96_000, seed=7):
+    sigs = speech_like_batch(jax.random.PRNGKey(seed), 3, n, CFG.fs)
+    B = traj_block_count(n, 2048)
+    return make_moving_scene(
+        sigs[0], sigs[1:], linear_trajectory(55.0, 125.0, B),
+        jnp.asarray([25.0, 155.0]), CFG.mic_dist, CFG.fs,
+    )
+
+
+def test_tracked_beats_static_autosteer_on_moving_talker():
+    sc = _moving_scene()
+    out_t, theta = tracked_autosteer_enhance(
+        sc["mixture"], CFG, fov_center_deg=90.0, fov_width_deg=100.0,
+    )
+    out_s, theta_s = autosteer_enhance(
+        sc["mixture"], CFG, fov_center_deg=90.0, fov_width_deg=100.0,
+    )
+    _, sir_t = osinr_osir(out_t, sc["target_ref"], sc["interference_ref"])
+    _, sir_s = osinr_osir(out_s, sc["target_ref"], sc["interference_ref"])
+    _, sir_in = osinr_osir(
+        sc["mixture"][0], sc["target_ref"], sc["interference_ref"]
+    )
+    # The track follows the 55 -> 125 glide.
+    th = np.asarray(theta)
+    assert th[0] < 80.0 and th[-1] > 100.0, th
+    assert float(sir_t) > float(sir_in) + 3.0  # enhancement is real
+    assert float(sir_t) > float(sir_s) + 2.0  # tracking beats one bearing
+
+
+def test_tracked_learned_path_runs():
+    """The learned tracked path (mask net steered per chunk) compiles and
+    produces finite audio; the track itself is model-independent."""
+    from azoom.models.unet import TPUFPU
+
+    sc = _moving_scene(n=64_000, seed=9)
+    model = TPUFPU(base=8, fold=4, bneck=4)
+    F = CFG.n_fft // 2 + 1
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, F, 16, 4), jnp.float32)
+    )
+    out, theta = tracked_autosteer_enhance(
+        sc["mixture"], CFG, fov_center_deg=90.0, fov_width_deg=120.0,
+        model=model, variables=variables, feature_kind="physics",
+    )
+    assert out.shape == sc["target_ref"].shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert theta.shape[0] >= 2

@@ -112,3 +112,47 @@ def test_zoom_api_m4_array():
     _, sir = osinr_osir(jnp.asarray(out), sc["target_ref"], sc["interference_ref"])
     _, sir_in = osinr_osir(sc["mixture"][0], sc["target_ref"], sc["interference_ref"])
     assert float(sir) - float(sir_in) > 10.0
+
+
+def test_tracked_facade_follows_moving_talker():
+    """track=True: whole-clip enhance() steers per chunk along the Viterbi
+    track and beats the single-bearing facade on a moving talker; push()
+    carries the causal tracker across windows."""
+    from azoom.sim.motion import (
+        linear_trajectory, make_moving_scene, traj_block_count,
+    )
+
+    # 8 cm pair: the heuristic DOA histogram resolves this 3-source
+    # moving scene (at 4 cm its angular resolution is too coarse here —
+    # the model-driven facade paths at 4 cm are covered elsewhere).
+    cfg = PipelineConfig(mic_dist=0.08)
+    n = 96_000
+    sigs = speech_like_batch(jax.random.PRNGKey(7), 3, n, cfg.fs)
+    B = traj_block_count(n, 2048)
+    sc = make_moving_scene(
+        sigs[0], sigs[1:], linear_trajectory(55.0, 125.0, B),
+        jnp.asarray([25.0, 155.0]), cfg.mic_dist, cfg.fs,
+    )
+    zt = AudioZoom(cfg=cfg, direction_deg=90.0, fov_deg=100.0, track=True)
+    zs = AudioZoom(cfg=cfg, direction_deg=90.0, fov_deg=100.0)
+    imp_t = sir_improvement_db(
+        jnp.asarray(zt.enhance(sc["mixture"])), sc["mixture"][0],
+        sc["target_ref"], sc["interference_ref"],
+    )
+    imp_s = sir_improvement_db(
+        jnp.asarray(zs.enhance(sc["mixture"])), sc["mixture"][0],
+        sc["target_ref"], sc["interference_ref"],
+    )
+    assert float(imp_t) > float(imp_s) + 2.0, (imp_t, imp_s)
+
+    # Streaming: the causal tracker state follows the glide window to
+    # window (bearing strictly increases across the clip).
+    zp = AudioZoom(cfg=cfg, direction_deg=90.0, fov_deg=100.0, track=True)
+    first = None
+    for i in range(0, n, 16_000):
+        zp.push(np.asarray(sc["mixture"][:, i : i + 16_000]))
+        if first is None and zp._track_theta is not None:
+            first = zp._track_theta
+    assert first is not None and zp._track_theta > first + 20.0
+    zp.reset()
+    assert zp._track_theta is None
