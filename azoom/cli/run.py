@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fov", type=float, default=None,
                    help="field-of-view width (deg); default 10 for "
                         "maxsnr_fov, 60 for autosteer")
+    p.add_argument("--track", action="store_true",
+                   help="follow a MOVING talker: per-chunk DOA + Viterbi "
+                        "bearing track steers every 2 s window at its own "
+                        "estimate (azoom.pipelines.tracked); composes with "
+                        "--autosteer/--model or the heuristic autosteer")
     p.add_argument("--autosteer", action="store_true",
                    help="with mvdr/hard_null/rmvb: refine the look "
                         "direction with the blind DOA histogram inside "
@@ -297,13 +302,23 @@ def do_inf(args, paths: PathsConfig) -> Path:
         out = istft(gev_beamform(Y, m) * m, cfg.n_fft, cfg.hop,
                     length=mixture.shape[-1])
     elif args.beamformer == "autosteer":
-        from azoom.pipelines.autosteer import autosteer_enhance
+        if args.track:
+            from azoom.pipelines.tracked import tracked_autosteer_enhance
 
-        out, theta = autosteer_enhance(
-            mixture, cfg, fov_center_deg=args.angle,
-            fov_width_deg=args.fov if args.fov is not None else 60.0,
-        )
-        print(f"[INF] autosteer locked onto {float(theta):.1f} deg")
+            out, theta = tracked_autosteer_enhance(
+                mixture, cfg, fov_center_deg=args.angle,
+                fov_width_deg=args.fov if args.fov is not None else 60.0,
+            )
+            track = ", ".join(f"{float(t):.0f}" for t in theta)
+            print(f"[INF] tracked bearing per 1 s hop: {track} deg")
+        else:
+            from azoom.pipelines.autosteer import autosteer_enhance
+
+            out, theta = autosteer_enhance(
+                mixture, cfg, fov_center_deg=args.angle,
+                fov_width_deg=args.fov if args.fov is not None else 60.0,
+            )
+            print(f"[INF] autosteer locked onto {float(theta):.1f} deg")
     elif args.beamformer == "online":
         from azoom.models.pretrained import load_pretrained_crn_causal
         from azoom.pipelines.online_learned import online_learned_enhance
@@ -332,7 +347,21 @@ def do_inf(args, paths: PathsConfig) -> Path:
         out = istft(S, cfg.n_fft, cfg.hop, length=mixture.shape[-1])
     else:
         model, variables, geo = _load_model_variables(args, cfg)
-        if args.autosteer:
+        if args.track:
+            from azoom.pipelines.tracked import tracked_autosteer_enhance
+
+            out, theta = tracked_autosteer_enhance(
+                mixture, cfg, fov_center_deg=args.angle,
+                fov_width_deg=args.fov if args.fov is not None else 60.0,
+                model=model, variables=variables,
+                feature_kind=model_features(args),
+                beamformer=args.beamformer,
+                train_mic_dist=geo,
+            )
+            track = ", ".join(f"{float(t):.0f}" for t in theta)
+            print(f"[INF] tracked bearing per 1 s hop: {track} deg "
+                  f"(learned mask steered blind per chunk)")
+        elif args.autosteer:
             from azoom.pipelines.autosteer import autosteer_enhance
 
             out, theta = autosteer_enhance(
