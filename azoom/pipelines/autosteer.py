@@ -41,6 +41,7 @@ def autosteer_enhance(
     cfg: PipelineConfig,
     fov_center_deg: float = 90.0,
     fov_width_deg: float = 60.0,
+    center_prior_deg: float | None = None,
     mask_width: float = 0.5,
     length: int | None = None,
     model=None,
@@ -58,6 +59,18 @@ def autosteer_enhance(
       mixture: (M, n) stereo time signal.
       fov_center_deg / fov_width_deg: the visual zoom window; DOA peaks
         outside it are ignored (interferers you are NOT pointing at).
+      center_prior_deg: stddev of a Gaussian aiming prior on the DOA
+        histogram, centered at ``fov_center_deg``. The camera center is
+        evidence of user intent — autosteer refines a few degrees of
+        aiming error, it must not jump to a louder talker deep in the FOV
+        (at M=4 with a competing talker 30 deg off-axis at +6 dB, the
+        unweighted argmax locks onto the interferer). Default (None) is
+        ``fov_width_deg / 5`` — measured on the real 3-talker fixture,
+        this is the window where a 20-deg-off target still out-scores
+        both a louder interferer 24 deg off-center and the histogram
+        noise floor near the center (sigma must be under ~14 deg for the
+        first and over ~8 for the second at fov=60). Pass
+        ``float("inf")`` for the unweighted loudest-in-FOV behavior.
       model / variables: optional mask net — when given, the estimated
         bearing steers the learned pipeline instead of the IPD heuristic
         (the blind product path: no ground truth, no exact angle, the
@@ -79,8 +92,11 @@ def autosteer_enhance(
     # broadband SRP lobes merge on a small 2-mic aperture (see
     # azoom.localize.srp.ipd_angle_histogram).
     angles, hist = ipd_angle_histogram(Y, cfg.mic_dist, cfg.fs, c=cfg.c)
+    sigma_p = (fov_width_deg / 5.0 if center_prior_deg is None
+               else center_prior_deg)
+    prior = jnp.exp(-0.5 * ((angles - fov_center_deg) / sigma_p) ** 2)
     in_fov = jnp.abs(angles - fov_center_deg) <= fov_width_deg / 2.0
-    hist = jnp.where(in_fov, hist, -jnp.inf)
+    hist = jnp.where(in_fov, hist * prior, -jnp.inf)
     theta = angles[jnp.argmax(hist)]
 
     if model is not None:

@@ -73,7 +73,7 @@ def predict_mask(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "cfg", "beamformer", "feature_kind", "length",
-                     "use_pallas", "dsp_precision", "n_nulls"),
+                     "use_pallas", "dsp_precision", "n_nulls", "steer_align"),
 )
 def learned_enhance(
     mixture: jnp.ndarray,
@@ -90,6 +90,7 @@ def learned_enhance(
     train_mic_dist: float | None = None,
     dsp_precision: str = "exact",
     n_nulls: int = 1,
+    steer_align: bool = True,
 ) -> jnp.ndarray:
     """Whole-signal learned enhancement: (..., M, n) -> (..., n).
 
@@ -125,6 +126,18 @@ def learned_enhance(
     artifact serves arrays of any (smaller) spacing at full quality
     (azoom.masks.features docstring; measured on the reference's real
     1 cm array in RESULTS.md "geometry adaptation").
+    ``steer_align`` (default True) rotates the STFT by the conjugate
+    steering vector BEFORE feature extraction, so the look direction
+    appears broadside to the mask net. Every bundled artifact was trained
+    with the target at broadside (train/data.py TRAIN_ANGLES); without
+    alignment the net ignores ``steer_deg`` and "zoom to theta"
+    degenerates to "zoom to whoever is nearest broadside" — with an
+    interferer AT broadside, steering to a 60 deg target scores -1.1 dB
+    unaligned vs +25.7 dB aligned (RESULTS.md "steer-aligned features").
+    Exact no-op at steer = 90 deg, so broadside behavior is unchanged.
+    Composes with geometry adaptation: the rotation happens at the actual
+    array's phases, then ``ipd_scale`` maps the residual to the training
+    geometry.
     """
     n = mixture.shape[-1]
     length = n if length is None else length
@@ -134,8 +147,18 @@ def learned_enhance(
     )
 
     Y = stft(mixture, cfg.n_fft, cfg.hop, precision=dsp_precision)
+    Y_feat = Y
+    if steer_align:
+        freqs_al = rfft_freqs(cfg.n_fft, cfg.fs)
+        d_al = steering_vector(
+            freqs_al, steer, cfg.mic_dist, cfg.c, cfg.n_mics
+        )  # (..., F, M)
+        # Per-channel unit-modulus rotation: the target's inter-channel
+        # phases become zero (broadside as seen by the features); channel
+        # magnitudes — hence logmag — are untouched.
+        Y_feat = Y * jnp.conj(d_al).swapaxes(-1, -2)[..., None]
     tgt_mask = predict_mask(
-        model, variables, Y, feature_kind, ipd_scale=ipd_scale
+        model, variables, Y_feat, feature_kind, ipd_scale=ipd_scale
     )
     noise_mask = 1.0 - tgt_mask
     if fov_deg is not None:

@@ -32,7 +32,9 @@ from azoom.stream.online import online_masked_mvdr
 __all__ = ["online_learned_enhance"]
 
 
-@functools.partial(jax.jit, static_argnames=("model", "cfg", "length"))
+@functools.partial(
+    jax.jit, static_argnames=("model", "cfg", "length", "steer_align")
+)
 def online_learned_enhance(
     mixture: jnp.ndarray,
     model,
@@ -41,22 +43,30 @@ def online_learned_enhance(
     forget: float = 0.98,
     mask_floor: float = 0.05,
     length: int | None = None,
+    steer_deg: float | jnp.ndarray | None = None,
+    steer_align: bool = True,
 ) -> jnp.ndarray:
     """Causally enhance (M, n) -> (n,) with a causal mask model.
 
     ``model`` must be causal along the time axis (e.g.
     BLSTMMaskNet(unidirectional=True)); the covariance/beamforming side is
-    guaranteed causal by online_masked_mvdr.
+    guaranteed causal by online_masked_mvdr. ``steer_deg`` (traced)
+    overrides ``cfg.angle_target_deg``; ``steer_align`` rotates the STFT
+    to present the look direction as broadside to the causal net (same
+    semantics as azoom.pipelines.learned.learned_enhance — exact no-op at
+    90 deg, where the bundled causal artifacts were trained).
     """
     n = mixture.shape[-1]
     length = n if length is None else length
+    steer = cfg.angle_target_deg if steer_deg is None else steer_deg
 
     Y = stft(mixture, cfg.n_fft, cfg.hop)  # (M, F, T)
-    feats = logmag_ipd_features(Y)[None]  # (1, F, T, C)
+    freqs = rfft_freqs(cfg.n_fft, cfg.fs)
+    d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics)
+    Y_feat = Y * jnp.conj(d).swapaxes(-1, -2)[..., None] if steer_align else Y
+    feats = logmag_ipd_features(Y_feat)[None]  # (1, F, T, C)
     tgt_mask = model.apply(variables, feats)[0]  # (F, T)
 
-    freqs = rfft_freqs(cfg.n_fft, cfg.fs)
-    d = steering_vector(freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
     S = online_masked_mvdr(
         Y, 1.0 - tgt_mask, d, freqs, cfg.sigma, cfg.hp_cutoff_hz, forget
     )

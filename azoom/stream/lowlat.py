@@ -37,7 +37,8 @@ __all__ = ["OnlineEnhancer"]
 
 
 def _make_step(model, variables: Any, cfg: PipelineConfig, forget: float,
-               mask_floor: float, eps: float = 1e-6):
+               mask_floor: float, eps: float = 1e-6,
+               steer_align: bool = True):
     """Build the jitted one-hop step. Closes over model/variables/cfg so
     the weights are burned into the compiled program once."""
     n_fft, hop = cfg.n_fft, cfg.hop
@@ -56,7 +57,12 @@ def _make_step(model, variables: Any, cfg: PipelineConfig, forget: float,
         # azoom.dsp.stft (Hann, 1/win.sum() scaling).
         fr = jnp.asarray(freqs)
         y = jnp.fft.rfft(ctx * win, axis=-1) / jnp.sum(win)  # (M, F)
-        feats = logmag_ipd_features(y[:, :, None])[None]  # (1, F, 1, 2)
+        d = steering_vector(fr, steer_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
+        # Steer-aligned features (parity with online_learned_enhance):
+        # rotate by conj(d) so the look direction appears broadside to the
+        # broadside-trained causal net; exact no-op at steer_deg = 90.
+        y_feat = y * jnp.conj(d).T if steer_align else y
+        feats = logmag_ipd_features(y_feat[:, :, None])[None]  # (1, F, 1, 2)
         mask, new_carries = model.apply(
             variables, feats, carries=carries, return_carries=True
         )
@@ -71,7 +77,6 @@ def _make_step(model, variables: Any, cfg: PipelineConfig, forget: float,
         # so mid-stream AudioZoom.set_zoom() changes reuse the compiled
         # program — same rationale as steer_deg.
         R = R_sum / (w_sum + eps)[:, None, None] + sigma * eye
-        d = steering_vector(fr, steer_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
         # M-general dispatch (closed-form 2x2 at M=2, unrolled Cholesky
         # beyond) — the low-latency path works on any linear array.
         Rinv_d = solve_hermitian(R, d)
@@ -108,12 +113,14 @@ class OnlineEnhancer:
 
     def __init__(self, cfg: PipelineConfig, model, variables: Any,
                  steer_deg: float = 90.0, forget: float = 0.98,
-                 mask_floor: float = 0.05, sigma: float | None = None):
+                 mask_floor: float = 0.05, sigma: float | None = None,
+                 steer_align: bool = True):
         self.cfg = cfg
         self.steer_deg = float(steer_deg)
         self.sigma = float(cfg.sigma if sigma is None else sigma)
         self._model = model
-        self._step = _make_step(model, variables, cfg, forget, mask_floor)
+        self._step = _make_step(model, variables, cfg, forget, mask_floor,
+                                steer_align=steer_align)
         self._hop = cfg.hop
         self._n_fft = cfg.n_fft
         self.reset()
