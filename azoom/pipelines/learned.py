@@ -148,6 +148,11 @@ def learned_enhance(
 
     Y = stft(mixture, cfg.n_fft, cfg.hop, precision=dsp_precision)
     Y_feat = Y
+    # Alignment at broadside is a no-op by design; when the steer is a
+    # static 90.0 (the default cfg / sweeps), skip the rotation entirely
+    # rather than multiply by a cos(90 deg)-noise unit phasor.
+    if isinstance(steer, (int, float)) and float(steer) == 90.0:
+        steer_align = False
     if steer_align:
         freqs_al = rfft_freqs(cfg.n_fft, cfg.fs)
         d_al = steering_vector(
