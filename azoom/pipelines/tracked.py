@@ -38,7 +38,7 @@ from azoom.config import PipelineConfig
 from azoom.dsp.delays import far_field_delays, steering_vector
 from azoom.dsp.stft import istft, rfft_freqs, stft
 from azoom.localize.srp import ipd_angle_histogram
-from azoom.localize.tracking import ema_track, viterbi_track
+from azoom.localize.tracking import causal_track, ema_track, viterbi_track
 from azoom.masks.geometric import ipd_deviation_noise_mask
 from azoom.stream.chunker import chunk_signal, overlap_add_chunks
 
@@ -108,7 +108,10 @@ def tracked_autosteer_enhance(
         trajectory for a panning camera (n_chunks =
         ceil(max(n - win, 0)/hop) + 1 with win = cfg.win_size,
         hop = win // 2).
-      tracker: 'viterbi' (offline MAP path) or 'ema' (causal).
+      tracker: 'viterbi' (offline MAP path), 'causal' (forward-Viterbi
+        filtering — the streaming-compatible choice), or 'ema' (legacy
+        causal point filter; can lock onto a wrong early peak and never
+        recover — see azoom.localize.tracking).
       trans_sigma_deg: tracker motion-model scale, degrees per chunk hop.
       model / variables: optional mask net — steers the learned pipeline
         (azoom.pipelines.learned) at the tracked bearing; without a model
@@ -129,6 +132,11 @@ def tracked_autosteer_enhance(
 
     if tracker == "viterbi":
         theta = viterbi_track(
+            angles, hists, trans_sigma_deg=trans_sigma_deg,
+            fov_center_deg=fov_center_deg, fov_width_deg=fov_width_deg,
+        )
+    elif tracker == "causal":
+        theta = causal_track(
             angles, hists, trans_sigma_deg=trans_sigma_deg,
             fov_center_deg=fov_center_deg, fov_width_deg=fov_width_deg,
         )

@@ -143,25 +143,33 @@ class AudioZoom:
         )
 
     def _update_track(self, window: jnp.ndarray, cfg) -> float:
-        """Causal per-window bearing update: DOA histogram gated to the
-        camera FOV AND a rate window around the previous estimate, then an
-        EMA blend (the ema_track step, carried across push() windows)."""
+        """Causal per-window bearing update: one forward-Viterbi filtering
+        step (azoom.localize.tracking.causal_track) with the running score
+        vector carried across push() windows. Keeping the full posterior
+        over angles — instead of the previous EMA point estimate — is what
+        lets the tracker recover from a transiently-captured wrong peak
+        (the EMA's rate gate made an early wrong lock permanent)."""
         from azoom.dsp.stft import stft
         from azoom.localize.srp import ipd_angle_histogram
 
         Y = stft(window, cfg.n_fft, cfg.hop)
         angles, hist = ipd_angle_histogram(Y, cfg.mic_dist, cfg.fs, c=cfg.c)
         angles, hist = np.asarray(angles), np.asarray(hist)
+        # Log emission, FOV-gated (mirrors tracking._emissions).
+        p = np.maximum(hist, 0.0)
+        p = p / (p.sum() + 1e-20)
+        emis = np.log(p + 1e-6)
         gate = np.abs(angles - self.direction_deg) <= self.fov_deg / 2.0
-        if self._track_theta is None:
-            peak = float(angles[np.argmax(np.where(gate, hist, -np.inf))])
-            self._track_theta = peak
+        emis = np.where(gate, emis, -1e9)
+        if self._track_scores is None:
+            scores = emis
         else:
-            rate = np.abs(angles - self._track_theta) <= 24.0
-            gated = np.where(gate & rate, hist, -np.inf)
-            if np.isfinite(gated).any():
-                peak = float(angles[np.argmax(gated)])
-                self._track_theta = 0.6 * peak + 0.4 * self._track_theta
+            trans_sigma = 12.0  # deg per window hop (tracked.py default)
+            diff = angles[:, None] - angles[None, :]
+            trans = -0.5 * (diff / trans_sigma) ** 2
+            scores = (self._track_scores[:, None] + trans).max(axis=0) + emis
+        self._track_scores = scores - scores.max()
+        self._track_theta = float(angles[np.argmax(scores)])
         return self._track_theta
 
     def _enhance_window(self, window: jnp.ndarray) -> jnp.ndarray:
@@ -259,6 +267,7 @@ class AudioZoom:
 
     def _reset_stream(self):
         self._track_theta = None  # causal tracker state (track=True)
+        self._track_scores = None  # forward-Viterbi score vector
         self._online = None
         if self.latency == "low":
             from azoom.stream.lowlat import OnlineEnhancer
@@ -297,6 +306,7 @@ class AudioZoom:
     def reset(self) -> None:
         """Drop all stream state (e.g. on seek or device change)."""
         self._track_theta = None
+        self._track_scores = None
         if getattr(self, "_online", None) is not None:
             self._online.reset()
             return

@@ -9,7 +9,8 @@ native geometry). Methods:
   static-nano   autosteer_enhance with the nano net (one DOA)
   tracked-heur  tracked_autosteer_enhance (Viterbi track, IPD mask)
   tracked-nano  tracked_autosteer_enhance with the nano net (int8)
-  tracked-ema   causal tracker + nano (the streaming-compatible variant)
+  tracked-ema   EMA causal tracker + nano (legacy point filter)
+  tracked-causal forward-Viterbi filtering + nano (the streaming default)
   oracle-steer  tracked-nano steered at the TRUE per-chunk trajectory
                 (tracker replaced by ground truth — the steering ceiling)
 
@@ -74,6 +75,10 @@ def main():
             sc["mixture"], CFG, FOV_C, FOV_W, tracker="ema",
             model=model, variables=variables, feature_kind=fkind,
         )
+        out_tc, _ = tracked_autosteer_enhance(
+            sc["mixture"], CFG, FOV_C, FOV_W, tracker="causal",
+            model=model, variables=variables, feature_kind=fkind,
+        )
         # Steering ceiling: true per-chunk bearing (trajectory midpoint of
         # each 2 s window).
         n_chunks = th_n.shape[0]
@@ -95,7 +100,8 @@ def main():
             seed=seed, sir_in=float(sir_in),
             static_heur=sir(out_sh), static_nano=sir(out_sn),
             tracked_heur=sir(out_th), tracked_nano=sir(out_tn),
-            tracked_ema=sir(out_te), oracle_steer=sir(out_or),
+            tracked_ema=sir(out_te), tracked_causal=sir(out_tc),
+            oracle_steer=sir(out_or),
             static_doa=float(th_s),
             track=[round(float(x), 1) for x in np.asarray(th_n)],
         )
@@ -103,7 +109,7 @@ def main():
         print(row, flush=True)
 
     keys = ["static_heur", "static_nano", "tracked_heur", "tracked_nano",
-            "tracked_ema", "oracle_steer"]
+            "tracked_ema", "tracked_causal", "oracle_steer"]
     print("\nmean SIR improvement (dB) over", len(rows), "scenes:")
     for k in keys:
         print(f"  {k:13s} {np.mean([r[k] for r in rows]):+.2f}")

@@ -96,6 +96,29 @@ def test_viterbi_rejects_distractor_mode():
     assert np.max(np.abs(path - true)) < 6.0, path
 
 
+def test_causal_track_filters_and_recovers_from_wrong_first_peak():
+    """Forward-Viterbi filtering: follows the glide causally, and — unlike
+    the EMA point filter — recovers when the FIRST chunk's peak is a
+    spurious distractor (an interferer out-talking the target at stream
+    start locked the EMA permanently: its rate gate then excludes the true
+    talker for good)."""
+    from azoom.localize.tracking import causal_track
+
+    true = np.linspace(60.0, 110.0, 12)
+    angles, hists = _synthetic_trellis(true, distract_at=160.0)
+    path = np.asarray(causal_track(angles, hists, trans_sigma_deg=8.0))
+    assert np.max(np.abs(path - true)) < 8.0, path
+
+    # Wrong first peak: chunk 0's strongest mode sits at 160 deg.
+    h = np.asarray(hists).copy()
+    h[0] += 3.0 * np.exp(-0.5 * ((np.asarray(angles) - 160.0) / 6.0) ** 2)
+    pc = np.asarray(causal_track(angles, jnp.asarray(h), trans_sigma_deg=8.0))
+    pe = np.asarray(ema_track(angles, jnp.asarray(h), rate_deg_per_chunk=15.0))
+    assert abs(pc[0] - 160.0) < 8.0  # causal: the filter CAN only see chunk 0
+    assert np.max(np.abs(pc[4:] - true[4:])) < 8.0, pc  # ...then recovers
+    assert np.max(np.abs(pe[4:] - true[4:])) > 30.0, pe  # EMA never does
+
+
 def test_ema_track_is_causal_and_smooth():
     true = np.linspace(50.0, 100.0, 16)
     angles, hists = _synthetic_trellis(true, distract_at=165.0, seed=3)
