@@ -19,7 +19,10 @@ trackers here impose temporal coherence:
   vector's argmax is emitted per chunk with no backtracking, so chunk c's
   estimate uses only chunks <= c. Keeping the full posterior over angles
   is what makes it robust: a transient wrong peak perturbs one term of an
-  accumulating score instead of hijacking a point estimate.
+  accumulating score instead of hijacking a point estimate. Optional
+  `lag` (fixed-lag smoothing: near-MAP accuracy at a bounded steering
+  delay) and `init_prior_sigma_deg` (camera aiming prior on the first
+  chunk) close most of the remaining gap to the offline path.
 - `ema_track` (causal, legacy): gated-peak pick + exponential smoothing.
   Each chunk only looks at histogram mass within a rate-limited window
   around the previous estimate. Cheap, but a wrong early lock is
@@ -123,7 +126,11 @@ def viterbi_track(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fov_width_deg", "trans_sigma_deg", "floor")
+    jax.jit,
+    static_argnames=(
+        "fov_width_deg", "trans_sigma_deg", "floor", "lag",
+        "init_prior_sigma_deg",
+    ),
 )
 def causal_track(
     angles: jnp.ndarray,
@@ -132,6 +139,8 @@ def causal_track(
     fov_center_deg: float | jnp.ndarray | None = None,
     fov_width_deg: float = 180.0,
     floor: float = 1e-6,
+    lag: int = 0,
+    init_prior_sigma_deg: float | None = None,
 ) -> jnp.ndarray:
     """Forward-Viterbi filtering: the causal counterpart of viterbi_track.
 
@@ -141,22 +150,67 @@ def causal_track(
     can be carried across streaming windows (AudioZoom.push does exactly
     this with the score vector as the tracker state).
 
+    Two robustness knobs beyond plain filtering:
+      lag: fixed-lag smoothing — chunk c's bearing may use chunks
+        <= c + lag (backtracked ``lag`` steps from the running argmax),
+        i.e. a steering decision delayed by ``lag`` chunk hops. lag=0 is
+        pure filtering; lag=2 matches the steering-at-ground-truth
+        ceiling on the moving study (+26.6 dB mean vs +23.7 filtering,
+        +26.5 vs +18.2 on the wrong-first-peak scene; RESULTS.md
+        "Moving-talker").
+      init_prior_sigma_deg: Gaussian aiming prior (stddev, degrees) on
+        the FIRST chunk's emissions, centered at the camera axis
+        (fov_center_deg's first value) — the same prior
+        azoom.pipelines.autosteer applies statically. The user aims the
+        camera at the talker when the zoom starts, so a distractor
+        out-talking the target in chunk 0 (the one chunk with no
+        temporal context) should not win the initial lock. Measured
+        +26.7 dB mean on the moving study at ZERO added latency —
+        slightly better than lag=2 — so the camera pipelines default it
+        on (sigma = FOV/5).
+
     Returns: (C,) tracked azimuth per chunk (degrees).
     """
     emis = _emissions(angles, hists, fov_center_deg, fov_width_deg, floor)
     emis = jnp.broadcast_to(emis, hists.shape)  # (C, A)
+    if init_prior_sigma_deg is not None and fov_center_deg is not None:
+        center0 = jnp.reshape(
+            jnp.asarray(fov_center_deg, jnp.float32), (-1,)
+        )[0]
+        prior0 = -0.5 * ((angles - center0) / init_prior_sigma_deg) ** 2
+        emis = emis.at[0].add(prior0)
     diff = angles[:, None] - angles[None, :]
     trans = -0.5 * (diff / trans_sigma_deg) ** 2  # (A, A)
 
     def step(score_prev, emis_c):
-        score = jnp.max(score_prev[:, None] + trans, axis=0) + emis_c
+        cand = score_prev[:, None] + trans  # (A_prev, A_next)
+        bp = jnp.argmax(cand, axis=0)  # (A_next,)
+        score = jnp.max(cand, axis=0) + emis_c
         score = score - jnp.max(score)
-        return score, jnp.argmax(score)
+        return score, (score, bp)
 
     score0 = emis[0] - jnp.max(emis[0])
-    _, idxs = jax.lax.scan(step, score0, emis[1:])
-    path = jnp.concatenate([jnp.argmax(score0)[None], idxs])
-    return angles[path]
+    _, (scores, bps) = jax.lax.scan(step, score0, emis[1:])
+    scores = jnp.concatenate([score0[None], scores])  # (C, A)
+    if lag == 0:
+        return angles[jnp.argmax(scores, axis=-1)]
+
+    # Fixed-lag smoothing: decide chunk c from the trellis at
+    # ce = min(c + lag, C - 1), backtracking ce - c steps. bp_all[c] maps
+    # the state at chunk c to its predecessor at c - 1 (identity row for
+    # c = 0, never followed).
+    C, A = scores.shape
+    bp_all = jnp.concatenate(
+        [jnp.arange(A, dtype=bps.dtype)[None], bps]
+    )  # (C, A)
+    idx = jnp.arange(C)
+    pos = jnp.minimum(idx + lag, C - 1)
+    state = jnp.argmax(scores[pos], axis=-1)  # (C,)
+    for _ in range(lag):  # lag is static and small: unrolled gathers
+        move = pos > idx
+        state = jnp.where(move, bp_all[pos, state], state)
+        pos = jnp.where(move, pos - 1, pos)
+    return angles[state]
 
 
 @functools.partial(

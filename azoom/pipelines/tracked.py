@@ -79,7 +79,7 @@ def steered_heuristic_enhance(
     static_argnames=(
         "cfg", "length", "model", "feature_kind", "beamformer", "use_pallas",
         "tracker", "trans_sigma_deg", "fov_width_deg", "mask_width",
-        "dsp_precision",
+        "dsp_precision", "track_lag", "init_prior_sigma_deg",
     ),
 )
 def tracked_autosteer_enhance(
@@ -98,6 +98,8 @@ def tracked_autosteer_enhance(
     use_pallas: bool = False,
     train_mic_dist: float | None = None,
     dsp_precision: str = "exact",
+    track_lag: int = 0,
+    init_prior_sigma_deg: float | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Blind enhancement of a moving target: track its bearing chunk by
     chunk and steer every chunk at its own estimate.
@@ -113,6 +115,12 @@ def tracked_autosteer_enhance(
         causal point filter; can lock onto a wrong early peak and never
         recover — see azoom.localize.tracking).
       trans_sigma_deg: tracker motion-model scale, degrees per chunk hop.
+      track_lag / init_prior_sigma_deg: 'causal'-tracker knobs (fixed-lag
+        smoothing in chunk hops; camera aiming prior on the first chunk
+        — azoom.localize.tracking.causal_track). The prior defaults to
+        fov_width_deg / 5 (the static autosteer's scale; measured
+        strictly better on the moving study — pass a large sigma to
+        effectively disable). Ignored by the other trackers.
       model / variables: optional mask net — steers the learned pipeline
         (azoom.pipelines.learned) at the tracked bearing; without a model
         each chunk uses the IPD-deviation heuristic mask around its
@@ -136,9 +144,12 @@ def tracked_autosteer_enhance(
             fov_center_deg=fov_center_deg, fov_width_deg=fov_width_deg,
         )
     elif tracker == "causal":
+        prior = (fov_width_deg / 5.0 if init_prior_sigma_deg is None
+                 else init_prior_sigma_deg)
         theta = causal_track(
             angles, hists, trans_sigma_deg=trans_sigma_deg,
             fov_center_deg=fov_center_deg, fov_width_deg=fov_width_deg,
+            lag=track_lag, init_prior_sigma_deg=prior,
         )
     elif tracker == "ema":
         theta = ema_track(

@@ -162,7 +162,13 @@ class AudioZoom:
         gate = np.abs(angles - self.direction_deg) <= self.fov_deg / 2.0
         emis = np.where(gate, emis, -1e9)
         if self._track_scores is None:
-            scores = emis
+            # First window: camera aiming prior (the user points the
+            # camera at the talker when the zoom starts) — the one chunk
+            # with no temporal context must not lock onto a distractor
+            # out-talking the target. Same prior scale as the static
+            # autosteer (pipelines/autosteer.py).
+            sigma_p = self.fov_deg / 5.0
+            scores = emis - 0.5 * ((angles - self.direction_deg) / sigma_p) ** 2
         else:
             trans_sigma = 12.0  # deg per window hop (tracked.py default)
             diff = angles[:, None] - angles[None, :]
@@ -321,7 +327,10 @@ class AudioZoom:
 
     def push(self, samples) -> np.ndarray:
         """Feed (M, k) new samples; returns whatever enhanced audio is ready
-        (multiple of hop samples, possibly empty). Transactional under
+        (multiple of hop samples, possibly empty). Output sample 0
+        corresponds to INPUT sample ``win_size // 2`` — the stream's
+        one-hop (1 s default) overlap-add warm-up; align by that offset
+        when comparing against the input. Transactional under
         enhancement failure: if the enhancer raises, no audio is lost —
         already-finalized hops are returned by the next push, and the
         failed window is re-processed. In ``latency='low'`` mode the hop

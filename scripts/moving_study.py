@@ -11,6 +11,10 @@ native geometry). Methods:
   tracked-nano  tracked_autosteer_enhance with the nano net (int8)
   tracked-ema   EMA causal tracker + nano (legacy point filter)
   tracked-causal forward-Viterbi filtering + nano (the streaming default)
+  tracked-causal-l2  + fixed-lag smoothing, lag=2 chunk hops (2 s extra
+                steering delay; near-MAP recovery from early wrong locks)
+  tracked-causal-prior  + camera aiming prior on the first chunk
+                (sigma = FOV/5, no added latency)
   oracle-steer  tracked-nano steered at the TRUE per-chunk trajectory
                 (tracker replaced by ground truth — the steering ceiling)
 
@@ -79,6 +83,16 @@ def main():
             sc["mixture"], CFG, FOV_C, FOV_W, tracker="causal",
             model=model, variables=variables, feature_kind=fkind,
         )
+        out_tl, _ = tracked_autosteer_enhance(
+            sc["mixture"], CFG, FOV_C, FOV_W, tracker="causal",
+            track_lag=2,
+            model=model, variables=variables, feature_kind=fkind,
+        )
+        out_tp, _ = tracked_autosteer_enhance(
+            sc["mixture"], CFG, FOV_C, FOV_W, tracker="causal",
+            init_prior_sigma_deg=FOV_W / 5.0,
+            model=model, variables=variables, feature_kind=fkind,
+        )
         # Steering ceiling: true per-chunk bearing (trajectory midpoint of
         # each 2 s window).
         n_chunks = th_n.shape[0]
@@ -101,6 +115,7 @@ def main():
             static_heur=sir(out_sh), static_nano=sir(out_sn),
             tracked_heur=sir(out_th), tracked_nano=sir(out_tn),
             tracked_ema=sir(out_te), tracked_causal=sir(out_tc),
+            tracked_causal_l2=sir(out_tl), tracked_causal_prior=sir(out_tp),
             oracle_steer=sir(out_or),
             static_doa=float(th_s),
             track=[round(float(x), 1) for x in np.asarray(th_n)],
@@ -109,7 +124,8 @@ def main():
         print(row, flush=True)
 
     keys = ["static_heur", "static_nano", "tracked_heur", "tracked_nano",
-            "tracked_ema", "tracked_causal", "oracle_steer"]
+            "tracked_ema", "tracked_causal", "tracked_causal_l2",
+            "tracked_causal_prior", "oracle_steer"]
     print("\nmean SIR improvement (dB) over", len(rows), "scenes:")
     for k in keys:
         print(f"  {k:13s} {np.mean([r[k] for r in rows]):+.2f}")

@@ -119,6 +119,55 @@ def test_causal_track_filters_and_recovers_from_wrong_first_peak():
     assert np.max(np.abs(pe[4:] - true[4:])) > 30.0, pe  # EMA never does
 
 
+def test_causal_track_fixed_lag_and_aiming_prior():
+    """The two robustness knobs: a small fixed lag corrects the early
+    chunks a pure filter gets wrong (it may backtrack through the first
+    clean chunks), and the aiming prior prevents the wrong chunk-0 lock
+    outright — each independently fixes the wrong-first-peak scene."""
+    from azoom.localize.tracking import causal_track
+
+    true = np.linspace(60.0, 110.0, 12)
+    angles, hists = _synthetic_trellis(true, distract_at=160.0)
+    h = np.asarray(hists).copy()
+    h[0] += 3.0 * np.exp(-0.5 * ((np.asarray(angles) - 160.0) / 6.0) ** 2)
+    h = jnp.asarray(h)
+
+    # Plain filtering needs ~4 chunks to out-accumulate the strong wrong
+    # peak; a lag that covers the capture window corrects every chunk
+    # (chunk 0 is decided from the chunk-4 trellis, which has recovered),
+    # while lag=2 already corrects everything the chunk-2 horizon can see.
+    p4 = np.asarray(causal_track(angles, h, trans_sigma_deg=8.0, lag=4))
+    assert np.max(np.abs(p4 - true)) < 10.0, p4
+    p2 = np.asarray(causal_track(angles, h, trans_sigma_deg=8.0, lag=2))
+    assert np.max(np.abs(p2[1:] - true[1:])) < 10.0, p2
+
+    # Aiming prior at the camera axis (90 deg, sigma 20): kills the
+    # 160 deg distractor at 3.5 sigma while the 60 deg target survives.
+    pp = np.asarray(causal_track(
+        angles, h, trans_sigma_deg=8.0,
+        fov_center_deg=90.0, init_prior_sigma_deg=20.0,
+    ))
+    assert abs(pp[0] - true[0]) < 10.0, pp
+    assert np.max(np.abs(pp - true)) < 10.0, pp
+
+
+def test_causal_track_lag_respects_its_horizon():
+    """Fixed-lag causality contract: chunk c's estimate must not change
+    when evidence later than c + lag changes."""
+    from azoom.localize.tracking import causal_track
+
+    true = np.linspace(60.0, 110.0, 12)
+    angles, hists = _synthetic_trellis(true, seed=5)
+    lag = 2
+    base = np.asarray(causal_track(angles, hists, trans_sigma_deg=8.0, lag=lag))
+    h2 = np.asarray(hists).copy()
+    h2[8:] = 0.02  # wipe the future: uniform noise after chunk 7
+    pert = np.asarray(
+        causal_track(angles, jnp.asarray(h2), trans_sigma_deg=8.0, lag=lag)
+    )
+    np.testing.assert_array_equal(base[: 8 - lag], pert[: 8 - lag])
+
+
 def test_ema_track_is_causal_and_smooth():
     true = np.linspace(50.0, 100.0, 16)
     angles, hists = _synthetic_trellis(true, distract_at=165.0, seed=3)
