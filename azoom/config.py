@@ -59,6 +59,20 @@ class PipelineConfig:
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
 
+    def for_input(self, mixture) -> "PipelineConfig":
+        """Reconcile the static mic count with an (..., M, n) input.
+
+        Callers are supposed to keep ``n_mics`` in sync with the recording
+        (cli.run replaces it from the WAV's channel count); the pipeline
+        entry points call this so a config/input mismatch can never build
+        a wrong-sized steering vector. The channel count is a trace-time
+        constant, so this costs nothing under jit.
+        """
+        if getattr(mixture, "ndim", 1) < 2:
+            return self
+        m = int(mixture.shape[-2])
+        return self if m == self.n_mics else self.replace(n_mics=m)
+
 
 # The canonical "final generation" configuration (reference gen 4).
 DEFAULT = PipelineConfig()

@@ -83,6 +83,7 @@ def autosteer_enhance(
     Returns:
       (enhanced (n,), estimated_angle_deg scalar).
     """
+    cfg = cfg.for_input(mixture)
     n = mixture.shape[-1]
     length = n if length is None else length
     Y = stft(mixture, cfg.n_fft, cfg.hop)

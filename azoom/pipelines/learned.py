@@ -139,6 +139,7 @@ def learned_enhance(
     array's phases, then ``ipd_scale`` maps the residual to the training
     geometry.
     """
+    cfg = cfg.for_input(mixture)
     n = mixture.shape[-1]
     length = n if length is None else length
     steer = cfg.angle_target_deg if steer_deg is None else steer_deg

@@ -53,6 +53,7 @@ def oracle_enhance(
     Returns:
       (..., n) enhanced mono signal.
     """
+    cfg = cfg.for_input(mixture)
     n = mixture.shape[-1]
     length = n if length is None else length
 
@@ -93,6 +94,7 @@ def heuristic_enhance(
 ) -> jnp.ndarray:
     """Blind enhancement with the hard geometric IPD mask — the gen-1
     heuristic path (masked_mvdr.py:50-133). No ground truth needed."""
+    cfg = cfg.for_input(mixture)
     n = mixture.shape[-1]
     length = n if length is None else length
 

@@ -59,6 +59,7 @@ def steered_heuristic_enhance(
     the IPD-deviation noise mask around theta + masked MVDR (the autosteer
     heuristic body with the bearing supplied from outside — a tracker, a
     camera, or a vmapped per-chunk trajectory)."""
+    cfg = cfg.for_input(chunk)
     freqs = rfft_freqs(cfg.n_fft, cfg.fs)
     Y = stft(chunk, cfg.n_fft, cfg.hop, precision=dsp_precision)
     d = steering_vector(freqs, theta_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
@@ -129,6 +130,7 @@ def tracked_autosteer_enhance(
     Returns:
       (enhanced (n,), theta_track (n_chunks,) tracked bearing per chunk).
     """
+    cfg = cfg.for_input(mixture)
     n = mixture.shape[-1]
     length = n if length is None else length
     win = cfg.win_size

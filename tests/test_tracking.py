@@ -242,6 +242,49 @@ def test_tracked_beats_static_autosteer_on_moving_talker():
     assert float(sir_t) > float(sir_s) + 2.0  # tracking beats one bearing
 
 
+def test_tracked_zoom_m4_array_and_config_reconcile():
+    """Tracked zoom composes with the M-mic generalization: a 4-mic moving
+    scene runs through the same pipeline (pair-averaged DOA histogram +
+    M-general MVDR) and beats the 2-mic array, even when the caller's cfg
+    still says n_mics=2 — the pipeline entries reconcile the static mic
+    count from the input shape (PipelineConfig.for_input)."""
+    n, seed = 96_000, 7
+    sigs = speech_like_batch(jax.random.PRNGKey(seed), 3, n, CFG.fs)
+    B = traj_block_count(n, 2048)
+    sirs = {}
+    for m in (2, 4):
+        sc = make_moving_scene(
+            sigs[0], sigs[1:], linear_trajectory(55.0, 125.0, B),
+            jnp.asarray([25.0, 155.0]), CFG.mic_dist, CFG.fs, n_mics=m,
+        )
+        assert sc["mixture"].shape[0] == m
+        # cfg deliberately left at the default n_mics=2 for both runs.
+        out, theta = tracked_autosteer_enhance(
+            sc["mixture"], CFG, fov_center_deg=90.0, fov_width_deg=100.0,
+            tracker="causal",
+        )
+        assert bool(jnp.all(jnp.isfinite(out)))
+        th = np.asarray(theta)
+        assert th[0] < 80.0 and th[-1] > 100.0, (m, th)
+        _, sir = osinr_osir(out, sc["target_ref"], sc["interference_ref"])
+        _, sir_in = osinr_osir(
+            sc["mixture"][0], sc["target_ref"], sc["interference_ref"]
+        )
+        sirs[m] = float(sir - sir_in)
+    # Two extra mics must buy real dB on the 2-interferer moving scene.
+    assert sirs[4] > sirs[2] + 1.0, sirs
+
+
+def test_pipeline_config_for_input():
+    from azoom.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    assert cfg.for_input(jnp.zeros((2, 100))) is cfg  # match: no copy
+    assert cfg.for_input(jnp.zeros((100,))) is cfg  # mono: untouched
+    assert cfg.for_input(jnp.zeros((4, 100))).n_mics == 4
+    assert cfg.for_input(jnp.zeros((8, 4, 100))).n_mics == 4  # batched
+
+
 def test_tracked_learned_path_runs():
     """The learned tracked path (mask net steered per chunk) compiles and
     produces finite audio; the track itself is model-independent."""
