@@ -48,6 +48,15 @@ FOV_C, FOV_W = 90.0, 100.0
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mics", type=int, default=2, help=(
+        "linear-array size; tracking is M-general (RESULTS.md: the causal"
+        " default measures +44.5 dB at --mics 4 vs +26.7 at 2)"
+    ))
+    n_mics = ap.parse_args().mics
+
     model, variables, fkind = load_bundled("tpufpu_nano", quant=True)
     B = traj_block_count(N, 2048)
     rows = []
@@ -55,7 +64,7 @@ def main():
         sigs = speech_like_batch(jax.random.PRNGKey(seed), 3, N, CFG.fs)
         sc = make_moving_scene(
             sigs[0], sigs[1:], linear_trajectory(55.0, 125.0, B),
-            jnp.asarray([25.0, 155.0]), CFG.mic_dist, CFG.fs,
+            jnp.asarray([25.0, 155.0]), CFG.mic_dist, CFG.fs, n_mics=n_mics,
         )
         t_ref, i_ref = sc["target_ref"], sc["interference_ref"]
         _, sir_in = osinr_osir(sc["mixture"][0], t_ref, i_ref)
