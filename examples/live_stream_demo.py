@@ -6,6 +6,8 @@ product interaction model (visual zoom driving the acoustic beam). Works
 on CPU or TPU; uses the bundled spacing-robust mask net.
 
 Run: python examples/live_stream_demo.py [--model fpu_multigeo] [--blocksize 1600]
+     [--latency low] [--track]   (--track: the talker walks 60->120 deg and
+     the stream's forward-Viterbi bearing filter follows them)
 """
 
 from __future__ import annotations
@@ -37,17 +39,34 @@ def main():
     p.add_argument("--latency", default="high", choices=["high", "low"],
                    help="low = hop-granularity causal streaming "
                         "(32-64 ms algorithmic latency, CRN mask net)")
+    p.add_argument("--track", action="store_true",
+                   help="moving-talker mode: the target walks 60->120 deg "
+                        "and push() follows it with the forward-Viterbi "
+                        "bearing filter (AudioZoom track=True)")
     args = p.parse_args()
 
     cfg = PipelineConfig(mic_dist=0.04)
     n = int(args.seconds * cfg.fs)
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
-    scene = make_scene(
-        speech_like(keys[0], n, cfg.fs, 150.0),
-        jnp.stack([speech_like(keys[1], n, cfg.fs, 220.0),
-                   speech_like(keys[2], n, cfg.fs, 120.0)]),
-        90.0, jnp.asarray([40.0, 130.0]), cfg.mic_dist, cfg.fs,
-    )
+    if args.track:
+        from azoom.sim.motion import (
+            linear_trajectory, make_moving_scene, traj_block_count,
+        )
+
+        scene = make_moving_scene(
+            speech_like(keys[0], n, cfg.fs, 150.0),
+            jnp.stack([speech_like(keys[1], n, cfg.fs, 220.0),
+                       speech_like(keys[2], n, cfg.fs, 120.0)]),
+            linear_trajectory(60.0, 120.0, traj_block_count(n, 2048)),
+            jnp.asarray([25.0, 155.0]), cfg.mic_dist, cfg.fs,
+        )
+    else:
+        scene = make_scene(
+            speech_like(keys[0], n, cfg.fs, 150.0),
+            jnp.stack([speech_like(keys[1], n, cfg.fs, 220.0),
+                       speech_like(keys[2], n, cfg.fs, 120.0)]),
+            90.0, jnp.asarray([40.0, 130.0]), cfg.mic_dist, cfg.fs,
+        )
     mixture = np.asarray(scene["mixture"])
 
     model = None if args.model == "autosteer" else args.model
@@ -56,8 +75,8 @@ def main():
         model = "crn_causal"
     zoom = AudioZoom(
         cfg=cfg, model=model,
-        direction_deg=90.0, fov_deg=60.0, zoom=0.7,
-        latency=args.latency,
+        direction_deg=90.0, fov_deg=120.0 if args.track else 60.0, zoom=0.7,
+        latency=args.latency, track=args.track,
     )
 
     out = []
