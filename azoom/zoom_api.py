@@ -63,11 +63,14 @@ class AudioZoom:
         steers exactly at ``direction_deg``.
       track: follow a MOVING talker (azoom.pipelines.tracked). Whole-clip
         ``enhance()`` runs the Viterbi MAP bearing track over the chunk
-        trellis; streaming ``push()`` carries a causal rate-gated EMA
-        tracker across windows, so the beam follows the talker from one
-        window to the next instead of re-locking from scratch (or, with
-        ``track=False``, assuming one fixed bearing). latency='high'
-        paths only (the low-latency CRN steers at ``direction_deg``).
+        trellis; streaming ``push()`` carries the forward-Viterbi filter's
+        score vector across windows (camera aiming prior on the first
+        window), so the beam follows the talker from one window to the
+        next instead of re-locking from scratch (or, with
+        ``track=False``, assuming one fixed bearing). Composes with
+        latency='low': the bearing filter advances once per second of
+        received audio and retargets the compiled per-hop step, while
+        OUTPUT latency stays at one hop (32-64 ms).
       latency: 'high' (2 s windows, best quality) or 'low' (hop-level
         causal streaming, 32-64 ms; requires a causal model — defaults to
         'crn_causal' when none is given).
@@ -282,6 +285,14 @@ class AudioZoom:
             self._online = OnlineEnhancer(
                 self._zoom_cfg(), net, variables, steer_deg=self.direction_deg
             )
+            # track=True at low latency: the forward-Viterbi bearing
+            # filter updates once per second of received audio (the same
+            # steering cadence as the 2 s / 50 % tracked OLA path, so the
+            # 12 deg/hop motion model transfers) and retargets the
+            # compiled per-hop step via set_direction — steering follows
+            # the talker while OUTPUT latency stays at one hop.
+            self._ll_track_buf = np.zeros((self.cfg.n_mics, 0), np.float32)
+            self._ll_track_win = int(self.cfg.fs)
             return
         self._win = self.cfg.win_size
         self._hop = self._win // 2
@@ -315,6 +326,7 @@ class AudioZoom:
         self._track_scores = None
         if getattr(self, "_online", None) is not None:
             self._online.reset()
+            self._ll_track_buf = np.zeros((self.cfg.n_mics, 0), np.float32)
             return
         if getattr(self, "_native", None) is not None:
             self._native.reset()
@@ -337,6 +349,21 @@ class AudioZoom:
         is one STFT hop (32 ms), not one second."""
         samples = np.asarray(samples, np.float32)
         if self._online is not None:
+            if self.track:
+                # Every full second of received audio advances the
+                # forward-Viterbi bearing filter and retargets the
+                # compiled per-hop step (traced steer input — no
+                # recompile). All histogram samples are already-received
+                # past audio, so the update is strictly causal.
+                buf = np.concatenate([self._ll_track_buf, samples], axis=1)
+                w = self._ll_track_win
+                while buf.shape[1] >= w:
+                    theta = self._update_track(
+                        jnp.asarray(buf[:, :w]), self._zoom_cfg()
+                    )
+                    self._online.set_direction(theta)
+                    buf = buf[:, w:]
+                self._ll_track_buf = buf
             return self._online.push(samples)
         out = self._out_pending
         if self._native is not None:

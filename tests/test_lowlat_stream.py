@@ -165,3 +165,48 @@ def test_facade_int8_flag():
         sc["interference_ref"],
     )
     assert float(imp) > 8.0
+
+
+def test_facade_low_latency_tracking_follows_walker():
+    """track=True composes with latency='low': the forward-Viterbi bearing
+    filter advances once per second of received audio and retargets the
+    compiled per-hop step (traced steer input), while output latency stays
+    at one hop. On a talker walking away from the camera axis, tracking
+    must beat the fixed-steer stream by several dB (measured +17.6 vs
+    +9.9 on this scene — thresholds well inside that gap)."""
+    from azoom.sim.motion import (
+        linear_trajectory, make_moving_scene, traj_block_count,
+    )
+    from azoom.zoom_api import AudioZoom
+
+    cfg = PipelineConfig(mic_dist=0.04)
+    n = 128_000  # 8 s: the walk needs time to leave the camera axis
+    sigs = speech_like_batch(jax.random.PRNGKey(7), 3, n, cfg.fs)
+    sc = make_moving_scene(
+        sigs[0], sigs[1:],
+        linear_trajectory(65.0, 120.0, traj_block_count(n, 2048)),
+        jnp.asarray([25.0, 160.0]), cfg.mic_dist, cfg.fs,
+    )
+    mix = np.asarray(sc["mixture"])
+
+    def run(track):
+        z = AudioZoom(cfg=cfg, direction_deg=65.0, fov_deg=130.0,
+                      latency="low", track=track)
+        outs = [z.push(mix[:, i:i + 1600]) for i in range(0, n, 1600)]
+        return np.concatenate([o for o in outs if o.size]), z
+
+    out_f, _ = run(False)
+    out_t, zt = run(True)
+    m = min(len(out_f), len(out_t))
+
+    def imp(out):
+        return float(sir_improvement_db(
+            jnp.asarray(out[:m]), sc["mixture"][0, :m],
+            sc["target_ref"][:m], sc["interference_ref"][:m],
+        ))
+
+    assert np.isfinite(out_t).all()
+    # The tracker followed the walk (ends near 120, started near 65).
+    assert zt._track_theta is not None and zt._track_theta > 100.0
+    assert imp(out_t) > imp(out_f) + 3.0
+    assert imp(out_t) > 12.0
