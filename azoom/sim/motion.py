@@ -40,6 +40,7 @@ __all__ = [
     "linear_trajectory",
     "mix_far_field_moving",
     "make_moving_scene",
+    "make_moving_room_scene",
 ]
 
 
@@ -149,6 +150,146 @@ def mix_far_field_moving(
         ),
         axis=0,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "room", "fs", "block", "radius", "snr_db", "max_order", "reverb",
+    ),
+)
+def make_moving_room_scene(
+    key: jax.Array,
+    target: jnp.ndarray,
+    interferers: jnp.ndarray,
+    target_traj_deg: jnp.ndarray,
+    room,
+    fs: int = 16_000,
+    block: int = 2048,
+    radius: float = 1.0,
+    snr_db: float = 50.0,
+    max_order: int | None = None,
+    reverb: bool = True,
+):
+    """MOVING talker in a reverberant shoebox room (image-source model).
+
+    The reverberant twin of :func:`make_moving_scene` and the moving twin
+    of :func:`azoom.sim.scene.simulate_room_scene`: the target walks a
+    circle of ``radius`` meters around the mic-array center along the
+    ``target_traj_deg`` azimuth anchors ((B,), one per ``block`` samples;
+    azimuth convention matches the far-field model — 90 deg = broadside),
+    and each Hann-windowed 50 %-overlap block is convolved with the FULL
+    image-source RIR at its block's position, then crossfaded by
+    overlap-add — the same time-varying-filter construction as the
+    anechoic builder, with per-block room acoustics instead of per-block
+    fractional delays (reverberant tails ride the overlap-add past each
+    block boundary, exactly as a time-varying FIR state would).
+    Interferers are STATIC, placed as `simulate_room_scene` places them
+    (first at the fixed reference position, the rest uniformly random
+    with 1 m wall margins — simulation.py:126-134).
+
+    Args:
+      key: PRNG key (random interferer placement + sensor noise).
+      target: (n,) dry target; interferers: (K, n) dry interferers.
+      room: RoomConfig (hashable; closed over at trace time).
+      max_order: ISM reflection order override (room.max_order default;
+        tests use a small order to bound the image lattice on CPU).
+
+    Returns dict: mixture (M, n), target_ref / interference_ref (n,)
+    channel-0 stems sharing the mixture's peak normalization.
+    """
+    from azoom.sim.room import fft_convolve, inverse_sabine, rir_matrix
+    from azoom.sim.scene import add_awgn, apply_sir_gain
+
+    n = target.shape[-1]
+    B = traj_block_count(n, block)
+    K = interferers.shape[0] if interferers.ndim == 2 else 0
+    mics = jnp.asarray(room.mic_locs, jnp.float32)  # (M, 3)
+    M = mics.shape[0]
+    center = jnp.mean(mics, axis=0)
+
+    if reverb:
+        absorption = inverse_sabine(room.rt60_target, room.room_dim)
+        order = room.max_order if max_order is None else max_order
+    else:
+        absorption = 1.0
+        order = 0
+    L = min(int(0.6 * fs), n)
+
+    # Anchor positions: walk the azimuth circle at mic height. Anchor 0 is
+    # duplicated so block k crossfades between anchors k and k+1 — the
+    # same half-block phase convention as _moving_images.
+    traj = jnp.asarray(target_traj_deg, jnp.float32).reshape(B)
+    traj = jnp.concatenate([traj[:1], traj])  # (B+1,)
+    az = jnp.deg2rad(traj)
+    pos = center[None, :] + radius * jnp.stack(
+        [jnp.cos(az), jnp.sin(az), jnp.zeros_like(az)], axis=-1
+    )  # (B+1, 3)
+    # Per-anchor RIRs, sequentially (lax.map) — the image lattice per
+    # (source, mic) pair is large, so a vmap over ~100 anchors would
+    # materialize gigabytes of scatter indices.
+    rirs = jax.lax.map(
+        lambda p: rir_matrix(
+            p[None], mics, room.room_dim, absorption, order, fs, L
+        )[0],
+        pos,
+    )  # (B+1, M, L)
+
+    # Hann COLA segments of the dry target (see _moving_images).
+    seg = 2 * block
+    t = jnp.arange(seg, dtype=jnp.float32)
+    w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * t / seg)
+    padded = (B + 2) * block
+    xp = jnp.pad(target, (block, padded - n - block))
+    starts = jnp.arange(B + 1) * block
+    segs = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(xp, s, seg, axis=-1)
+    )(starts) * w  # (B+1, seg)
+
+    out_len = seg + L - 1
+    wet_segs = fft_convolve(segs[:, None, :], rirs, out_len)  # (B+1, M, out)
+
+    def body(out, inp):
+        s, seg_m = inp
+        cur = jax.lax.dynamic_slice_in_dim(out, s, out_len, axis=-1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, cur + seg_m, s, axis=-1
+        ), None
+
+    buf0 = jnp.zeros((M, padded + L), target.dtype)
+    buf, _ = jax.lax.scan(body, buf0, (starts, wet_segs))
+    target_wet = buf[..., block : block + n]  # (M, n)
+
+    # Static interferers: fixed-then-random placement, SIR gain on ch 0.
+    k_pos, k_noise = jax.random.split(key)
+    if K:
+        ipos = [jnp.asarray(room.interferer_pos_fixed, jnp.float32)]
+        if K >= 2:
+            dims = jnp.asarray(room.room_dim, jnp.float32)
+            rnd = 1.0 + jax.random.uniform(k_pos, (K - 1, 2)) * (dims[:2] - 2.0)
+            ipos.extend(
+                [jnp.concatenate([rnd[i], jnp.asarray([1.5])])
+                 for i in range(K - 1)]
+            )
+        irirs = rir_matrix(
+            jnp.stack(ipos), mics, room.room_dim, absorption, order, fs, L
+        )  # (K, M, L)
+        interf = jnp.sum(
+            fft_convolve(interferers[:, None, :], irirs, n), axis=0
+        )  # (M, n)
+        interf = apply_sir_gain(target_wet[0], interf, room.sir_target_db)
+    else:
+        interf = jnp.zeros_like(target_wet)
+
+    clean = target_wet + interf
+    noise_keys = jax.random.split(k_noise, M)
+    noisy = jax.vmap(add_awgn, in_axes=(0, 0, None))(noise_keys, clean, snr_db)
+    peak = jnp.max(jnp.abs(noisy)) + 1e-9
+    return {
+        "mixture": noisy / peak,
+        "target_ref": target_wet[0] / peak,
+        "interference_ref": interf[0] / peak,
+    }
 
 
 @functools.partial(

@@ -303,3 +303,62 @@ def test_tracked_learned_path_runs():
     assert out.shape == sc["target_ref"].shape
     assert bool(jnp.all(jnp.isfinite(out)))
     assert theta.shape[0] >= 2
+
+
+def test_moving_room_scene_constant_traj_matches_static_render():
+    """A constant trajectory through the moving-ROOM builder must reproduce
+    the plain static image-source render of that position (the Hann COLA
+    crossfade of identical per-block RIRs is exact; measured 5e-6)."""
+    from azoom.config import RoomConfig
+    from azoom.sim.motion import make_moving_room_scene
+    from azoom.sim.room import fft_convolve, inverse_sabine, rir_matrix
+
+    room = RoomConfig().with_mic_dist(0.04)
+    fs, n = 16_000, 32_000
+    sigs = speech_like_batch(jax.random.PRNGKey(3), 2, n, fs)
+    B = traj_block_count(n, 2048)
+    sc = make_moving_room_scene(
+        jax.random.PRNGKey(0), sigs[0], sigs[1:2],
+        jnp.full((B,), 90.0), room, fs, max_order=4,
+    )
+    assert sc["mixture"].shape == (2, n)
+    assert bool(jnp.all(jnp.isfinite(sc["mixture"])))
+
+    mics = jnp.asarray(room.mic_locs, jnp.float32)
+    pos = jnp.mean(mics, 0) + jnp.asarray([0.0, 1.0, 0.0])  # 90 deg, r=1
+    absorption = inverse_sabine(room.rt60_target, room.room_dim)
+    r = rir_matrix(pos[None], mics, room.room_dim, absorption, 4, fs,
+                   min(int(0.6 * fs), n))[0]
+    static = np.asarray(fft_convolve(sigs[0][None, :], r, n)[0])
+    a = np.asarray(sc["target_ref"])
+    a = a / (np.abs(a).max() + 1e-9)
+    b = static / (np.abs(static).max() + 1e-9)
+    assert np.max(np.abs(a - b)) < 1e-4
+
+
+def test_moving_room_scene_tracked_pipeline_runs():
+    """Tracked zoom on a reverberant moving scene: finite output and a
+    track that moves with the glide (full quality numbers are the TPU
+    study, scripts/moving_room_study.py)."""
+    from azoom.config import RoomConfig
+    from azoom.sim.motion import make_moving_room_scene
+
+    room = RoomConfig().with_mic_dist(0.04)
+    fs, n = 16_000, 64_000
+    sigs = speech_like_batch(jax.random.PRNGKey(5), 3, n, fs)
+    B = traj_block_count(n, 2048)
+    sc = make_moving_room_scene(
+        jax.random.PRNGKey(1), sigs[0], sigs[1:],
+        linear_trajectory(60.0, 120.0, B), room, fs, max_order=4,
+    )
+    out, th = tracked_autosteer_enhance(
+        sc["mixture"], PipelineConfig(mic_dist=0.04), 90.0, 110.0,
+        tracker="causal",
+    )
+    assert bool(jnp.all(jnp.isfinite(out)))
+    th = np.asarray(th)
+    # Reverb at this short length makes the heuristic histogram too noisy
+    # for a direction assertion (quality numbers are the TPU study with
+    # the learned masks); the contract here is composition: every chunk's
+    # bearing stays inside the FOV gate.
+    assert np.all(np.abs(th - 90.0) <= 55.0), th
