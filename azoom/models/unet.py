@@ -35,9 +35,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "FreqPreservingUNet", "DeepFPU", "TPUFPU", "QConv", "pad_frames",
-    "time_pool_factor", "fold_freq", "unfold_freq", "fold_time",
-    "unfold_time",
+    "FreqPreservingUNet", "DeepFPU", "TPUFPU", "QConv", "FreqAttention",
+    "pad_frames", "time_pool_factor", "fold_freq", "unfold_freq",
+    "fold_time", "unfold_time",
 ]
 
 
@@ -262,6 +262,49 @@ class ResBlock(nn.Module):
         return nn.relu(x + h)
 
 
+class FreqAttention(nn.Module):
+    """Frequency-axis transformer block for the TPUFPU bottleneck.
+
+    A 3x3 conv stack at fold=4 sees only a ~dozen-bin neighborhood per
+    level, so the bottleneck's receptive field covers a fraction of the
+    513-bin band — but speech masks have GLOBAL frequency structure
+    (harmonic stacks of one f0 light up together, and the IPD cue is
+    coherent across the whole band for one bearing). This block gives
+    every bottleneck position one global look along frequency: pre-LN
+    multi-head self-attention over the folded-frequency axis (tokens =
+    Fp subband rows, batch = B x T_bottleneck) plus a 2x-expansion MLP,
+    both residual. All compute is dense matmuls (MXU) in ``dtype``; at
+    nano-bottleneck shapes it adds ~1.5 % of the net's MACs.
+
+    TPU-native addition; the closest reference artifact is the roadmap
+    item "Add model usage options (RNN-BLSTM, CNN, ...)" (TODO:7) — the
+    reference's model zoo itself is conv-only
+    (resnet_model_mvdr/inference.py:53-137).
+    """
+
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, Fp, T, C)
+        c = x.shape[-1]
+        fp = x.shape[-3]
+        h = x.astype(self.dtype).swapaxes(-3, -2)  # (B, T, Fp, C)
+        # Learned frequency-position embedding: attention is permutation-
+        # invariant, but subband identity (absolute frequency) matters.
+        pos = self.param(
+            "pos_emb", nn.initializers.normal(0.02), (fp, c), jnp.float32
+        )
+        attn_in = nn.LayerNorm(dtype=self.dtype)(h) + pos.astype(self.dtype)
+        h = h + nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, dtype=self.dtype, deterministic=True
+        )(attn_in, attn_in)
+        mlp_in = nn.LayerNorm(dtype=self.dtype)(h)
+        m = nn.Dense(2 * c, dtype=self.dtype)(mlp_in)
+        m = nn.Dense(c, dtype=self.dtype)(nn.gelu(m))
+        return (h + m).swapaxes(-3, -2)  # back to (B, Fp, T, C)
+
+
 def _pool_time(x):
     """MaxPool (1, 2): halve the time axis only."""
     return nn.max_pool(x, window_shape=(1, 2), strides=(1, 2))
@@ -406,6 +449,14 @@ class TPUFPU(nn.Module):
     64 ms. Contract with tfold=2: T % 16 == 0, which the universal
     pad_frames multiple of 16 already guarantees.
     Default 1 = every bundled artifact's tree through tpufpu_nano.
+
+    ``fattn`` (number of heads; 0 = off) inserts a :class:`FreqAttention`
+    transformer block after the bottleneck ResBlocks — one global look
+    along the frequency axis per bottleneck frame, where the conv tree's
+    receptive field is only a local band. Attention/MLP matmuls run in
+    ``dtype`` (bf16 on TPU) regardless of ``quant`` (they are ~1.5 % of
+    the MACs; int8 would buy nothing). Default 0 = every bundled
+    artifact's tree through tpufpu_nano.
     """
 
     base: int = 64
@@ -416,6 +467,7 @@ class TPUFPU(nn.Module):
     dec_div: int = 1
     enc_div: int = 1
     tfold: int = 1
+    fattn: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -439,6 +491,8 @@ class TPUFPU(nn.Module):
         b = ConvBNRelu(self.base * self.bneck, d, q)(_pool_time(e3), train)
         b = ResBlock(self.base * self.bneck, d, q)(b, train)
         b = ResBlock(self.base * self.bneck, d, q)(b, train)
+        if self.fattn > 0:
+            b = FreqAttention(self.fattn, d)(b)
 
         def dec_level(h, skip, feats, last=False):
             h = _up_time(h, feats, d)

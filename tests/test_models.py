@@ -273,3 +273,51 @@ def test_tpufpu_tfold_variant():
     # a longer input still round-trips through the internal time fold
     x32 = jnp.zeros((1, 513, 32, 4))
     assert pico.apply(v_pico, x32).shape == (1, 513, 32)
+
+
+def test_tpufpu_fattn_variant():
+    """fattn inserts a frequency-axis transformer block at the bottleneck
+    (round-3 quality study): fattn=0 reproduces the bundled-artifact tree
+    exactly; fattn>0 keeps the (B, F, T) mask contract, trains (gradients
+    flow through attention), and the int8 conv twin serves the same
+    variables (attention stays bf16/float by design)."""
+    from azoom.models.unet import TPUFPU
+
+    x = jnp.zeros((1, 513, 16, 4))
+    nano = TPUFPU(base=8, fold=4, bneck=4, dec_div=2, enc_div=2)
+    attn = TPUFPU(base=8, fold=4, bneck=4, dec_div=2, enc_div=2, fattn=2)
+    v_nano = nano.init(jax.random.PRNGKey(0), x)
+    v_attn = attn.init(jax.random.PRNGKey(0), x)
+    # the conv tree is unchanged; attention adds a FreqAttention_0 scope
+    assert "FreqAttention_0" in v_attn["params"]
+    assert set(v_nano["params"]) | {"FreqAttention_0"} == set(v_attn["params"])
+    # positional embedding spans the folded frequency axis (ceil(513/4))
+    assert v_attn["params"]["FreqAttention_0"]["pos_emb"].shape[0] == 129
+
+    key = jax.random.PRNGKey(1)
+    xr = jax.random.normal(key, x.shape)
+    y = attn.apply(v_attn, xr)
+    assert y.shape == (1, 513, 16)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    assert float(jnp.min(y)) >= 0.0 and float(jnp.max(y)) <= 1.0
+
+    # attention actually participates: zeroing its output projection
+    # changes the mask, and gradients reach the attention params
+    def loss(params):
+        out, _ = attn.apply(
+            {"params": params, "batch_stats": v_attn["batch_stats"]},
+            xr, train=True, mutable=["batch_stats"],
+        )
+        return jnp.mean((out - 0.5) ** 2)
+
+    g = jax.grad(loss)(v_attn["params"])
+    g_attn = g["FreqAttention_0"]["MultiHeadDotProductAttention_0"]
+    gnorm = sum(
+        float(jnp.sum(jnp.abs(leaf))) for leaf in jax.tree_util.tree_leaves(g_attn)
+    )
+    assert gnorm > 0.0
+
+    # int8 serving twin: same variables, close mask
+    y_q = TPUFPU(base=8, fold=4, bneck=4, dec_div=2, enc_div=2, fattn=2,
+                 quant=True).apply(v_attn, xr)
+    assert float(jnp.max(jnp.abs(y - y_q))) < 0.1
