@@ -163,8 +163,11 @@ def test_tpufpu_serve_parity(rng):
     # round(x/s) boundary flips an int8 code; those flips compound. A few
     # 1e-3 on a sigmoid mask is the irreducible cost of ANY epilogue
     # reordering (same class as the int8-vs-float gap, which is ~1e-2).
+    # The exact max is host-dependent (XLA:CPU codegen differs across CPU
+    # generations; measured 4.9e-3 and 6.6e-3 on two hosts), so the max
+    # bound sits at the 1e-2 class while the mean bound stays tight.
     err = float(jnp.max(jnp.abs(got - ref)))
-    assert err < 5e-3, f"tpufpu serve mismatch: max {err:.2e}"
+    assert err < 1e-2, f"tpufpu serve mismatch: max {err:.2e}"
     mean_err = float(jnp.mean(jnp.abs(got - ref)))
     assert mean_err < 2e-4, f"tpufpu serve mean mismatch: {mean_err:.2e}"
     assert bool(jnp.all((got >= 0) & (got <= 1)))
