@@ -171,6 +171,7 @@ def rtf_mvdr_beamform(
     hp_cutoff_hz: float = 100.0,
     conf_thresh: float = 0.7,
     mask_floor: float = 0.0,
+    apply_post_filter: bool = True,
 ) -> jnp.ndarray:
     """Masked MVDR steered by the estimated RTF instead of the plane-wave
     model. Y (..., M, F, T) -> (..., F, T).
@@ -195,7 +196,9 @@ def rtf_mvdr_beamform(
     post-filter is applied (pure beamforming — the caller owns any
     masking). When passed explicitly, it is both the covariance split and
     the spectral post-filter (floored by ``mask_floor``), matching how
-    the learned pipeline drives masked_mvdr.
+    the learned pipeline drives masked_mvdr; ``apply_post_filter=False``
+    keeps the covariance split but skips the multiply (the harmonic-
+    regeneration path owns the gain, azoom.beam.postfilter).
     """
     tgt = 1.0 - noise_mask if target_mask is None else target_mask
     R_n = masked_covariance(Y, noise_mask)
@@ -209,7 +212,7 @@ def rtf_mvdr_beamform(
     S = apply_weights(w, Y)
     keep = (freqs_hz >= hp_cutoff_hz)[:, None]
     S = jnp.where(keep, S, 0.0)
-    if target_mask is not None:
+    if target_mask is not None and apply_post_filter:
         gain = (
             jnp.maximum(target_mask, mask_floor) if mask_floor > 0
             else target_mask

@@ -58,6 +58,10 @@ def build_parser():
                         "the enhancement stack in vectorized learned sweeps "
                         "— models camera pointing error; scenes keep the "
                         "true target angle")
+    p.add_argument("--hrnr", action="store_true",
+                   help="harmonic-regeneration post-filter in vectorized "
+                        "learned sweeps (azoom.beam.postfilter; reference "
+                        "roadmap TODO:9)")
     p.add_argument("--duration", type=float, default=2.0)
     p.add_argument("--snr", type=float, default=50.0,
                    help="AWGN sensor-noise SNR in dB (the reference's "
@@ -204,6 +208,7 @@ def run_vectorized(args):
             beamformer=args.beamformer, feature_kind=feature_kind,
             steer_error_deg=args.steer_error, train_mic_dist=geo,
             dsp_precision=args.dsp_precision,
+            harmonic_regen=args.hrnr,
         )
     else:
         raise SystemExit(

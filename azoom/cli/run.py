@@ -111,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wpe", action="store_true",
                    help="WPE-dereverberate the mixture before enhancement "
                         "(resnet_model_mvdr/inference.py:282 behavior)")
+    p.add_argument("--hrnr", action="store_true",
+                   help="harmonic-regeneration post-filter on the learned "
+                        "paths: re-open mask-suppressed target-harmonic "
+                        "bins from rectified stage-1 evidence "
+                        "(azoom.beam.postfilter; reference roadmap TODO:9)")
     return p
 
 
@@ -371,6 +376,7 @@ def do_inf(args, paths: PathsConfig) -> Path:
                 feature_kind=model_features(args),
                 beamformer=args.beamformer,
                 train_mic_dist=geo,
+                harmonic_regen=args.hrnr,
             )
             print(f"[INF] autosteer locked onto {float(theta):.1f} deg "
                   f"(learned mask steered blind)")
@@ -381,6 +387,7 @@ def do_inf(args, paths: PathsConfig) -> Path:
                 mixture, model, variables, cfg,
                 beamformer=args.beamformer, feature_kind=model_features(args),
                 train_mic_dist=geo, n_nulls=args.nulls,
+                harmonic_regen=args.hrnr,
             )
 
     if timer is not None:

@@ -226,7 +226,7 @@ def oracle_sweep(
         "cfg", "model", "n_scenes", "n_samples", "with_stoi", "n_interferers",
         "reverb", "randomize", "room", "beamformer", "feature_kind",
         "with_waveforms", "steer_error_deg", "interferer_kind",
-        "train_mic_dist", "snr_db", "dsp_precision",
+        "train_mic_dist", "snr_db", "dsp_precision", "harmonic_regen",
     ),
 )
 def learned_sweep(
@@ -249,6 +249,7 @@ def learned_sweep(
     train_mic_dist: float | None = None,
     snr_db: float = 50.0,
     dsp_precision: str = "exact",
+    harmonic_regen: bool = False,
 ) -> dict:
     """Blind learned-mask campaign sweep: synth scenes (reverb by default,
     mirroring batch_run.py:23-29's RT60=0.5 / 2-interferer config), enhance
@@ -278,6 +279,7 @@ def learned_sweep(
             beamformer=beamformer, feature_kind=feature_kind,
             train_mic_dist=train_mic_dist,
             dsp_precision=dsp_precision,
+            harmonic_regen=harmonic_regen,
         )
         res = _score(out, sc, cfg, with_stoi)
         if with_waveforms:

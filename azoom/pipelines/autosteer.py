@@ -34,7 +34,8 @@ __all__ = ["autosteer_enhance"]
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "length", "model", "feature_kind", "beamformer",
-                     "use_pallas", "fov_gate", "dsp_precision"),
+                     "use_pallas", "fov_gate", "dsp_precision",
+                     "harmonic_regen"),
 )
 def autosteer_enhance(
     mixture: jnp.ndarray,
@@ -52,6 +53,7 @@ def autosteer_enhance(
     fov_gate: bool = False,
     train_mic_dist: float | None = None,
     dsp_precision: str = "exact",
+    harmonic_regen: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Enhance toward the dominant source inside the zoom FOV.
 
@@ -111,6 +113,7 @@ def autosteer_enhance(
             fov_deg=fov_width_deg if fov_gate else None,
             train_mic_dist=train_mic_dist,
             dsp_precision=dsp_precision,
+            harmonic_regen=harmonic_regen,
         )
         return out, theta
 

@@ -73,7 +73,8 @@ def predict_mask(
 @functools.partial(
     jax.jit,
     static_argnames=("model", "cfg", "beamformer", "feature_kind", "length",
-                     "use_pallas", "dsp_precision", "n_nulls", "steer_align"),
+                     "use_pallas", "dsp_precision", "n_nulls", "steer_align",
+                     "harmonic_regen"),
 )
 def learned_enhance(
     mixture: jnp.ndarray,
@@ -91,6 +92,7 @@ def learned_enhance(
     dsp_precision: str = "exact",
     n_nulls: int = 1,
     steer_align: bool = True,
+    harmonic_regen: bool = False,
 ) -> jnp.ndarray:
     """Whole-signal learned enhancement: (..., M, n) -> (..., n).
 
@@ -120,6 +122,11 @@ def learned_enhance(
     ``dsp_precision``: 'exact' (default) runs the TPU matmul-DFT STFT/iSTFT
     at HIGHEST precision; 'fast' uses single-pass bf16 MXU passes (~-54 dB
     error floor — measured no SIR cost at serving; see RESULTS.md).
+    ``harmonic_regen`` replaces the plain mask multiply with the HRNR
+    stage-2 Wiener gain (azoom.beam.postfilter — the reference's
+    unfinished roadmap item TODO:9): the half-wave-rectified stage-1
+    signal regenerates target harmonics the mask suppressed, re-opening
+    those bins in proportion to the evidence instead of the fixed floor.
     ``train_mic_dist`` enables geometry adaptation: give the spacing the
     mask net was trained at (e.g. 0.04 for the bundled artifacts) and its
     phase features are rescaled by train_mic_dist / cfg.mic_dist, so one
@@ -176,6 +183,11 @@ def learned_enhance(
         noise_mask = apply_fov_gate(noise_mask, gate, protect, valid)
     freqs = rfft_freqs(cfg.n_fft, cfg.fs)
 
+    # With harmonic_regen the branches produce the UNMASKED beamformed
+    # spectrum S_bf plus the stage-1 gain g1; the HRNR stage below replaces
+    # the plain multiply (azoom.beam.postfilter — reference roadmap TODO:9).
+    g1 = jnp.maximum(tgt_mask, mask_floor) if mask_floor > 0 else tgt_mask
+
     if beamformer == "mvdr":
         d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics)
         mvdr_fn = masked_mvdr
@@ -188,7 +200,7 @@ def learned_enhance(
             noise_mask,
             d,
             freqs,
-            target_mask=tgt_mask,
+            target_mask=None if harmonic_regen else tgt_mask,
             mask_floor=mask_floor,
             sigma=cfg.sigma,
             hp_cutoff_hz=cfg.hp_cutoff_hz,
@@ -200,7 +212,9 @@ def learned_enhance(
         S = rmvb_beamform(
             Y, noise_mask, d, freqs,
             sigma=cfg.sigma, hp_cutoff_hz=cfg.hp_cutoff_hz,
-        ) * jnp.maximum(tgt_mask, mask_floor)
+        )
+        if not harmonic_regen:
+            S = S * jnp.maximum(tgt_mask, mask_floor)
     elif beamformer == "rtf":
         from azoom.beam.rtf import rtf_mvdr_beamform
 
@@ -219,6 +233,7 @@ def learned_enhance(
             sigma=cfg.sigma,
             hp_cutoff_hz=cfg.hp_cutoff_hz,
             mask_floor=mask_floor,
+            apply_post_filter=not harmonic_regen,
         )
     elif beamformer == "wpd":
         from azoom.beam.wpd import masked_wpd
@@ -231,14 +246,29 @@ def learned_enhance(
         # sigma here is trace-relative loading on the stacked covariance
         # (wpd.py), a different animal from cfg.sigma's absolute-loading
         # zoom knob — keep the module default.
-        S = masked_wpd(
-            Y,
-            1.0 - noise_mask,
-            d,
-            freqs,
-            hp_cutoff_hz=cfg.hp_cutoff_hz,
-            mask_floor=mask_floor,
-        )
+        if harmonic_regen:
+            from azoom.beam.wpd import wpd_beamform
+
+            # masked_wpd = wpd_beamform + the floored mask gain; the HRNR
+            # stage owns the gain, so take the unmasked beamformer output
+            # and hand it g1 = the same (FOV-gated) floored mask.
+            S = wpd_beamform(
+                Y, 1.0 - noise_mask, d, freqs,
+                hp_cutoff_hz=cfg.hp_cutoff_hz,
+            )
+            g1 = (
+                jnp.maximum(1.0 - noise_mask, mask_floor)
+                if mask_floor > 0 else 1.0 - noise_mask
+            )
+        else:
+            S = masked_wpd(
+                Y,
+                1.0 - noise_mask,
+                d,
+                freqs,
+                hp_cutoff_hz=cfg.hp_cutoff_hz,
+                mask_floor=mask_floor,
+            )
     elif beamformer == "hard_null":
         d = steering_vector(
             freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics,
@@ -256,9 +286,19 @@ def learned_enhance(
         # The null beamformer derives its interference covariance from
         # (1 - its mask argument), so the FOV-gated noise mask enters as
         # 1 - noise_mask; the spectral post-filter stays the raw net mask.
-        S = null_fn(Y, 1.0 - noise_mask, d, freqs) * tgt_mask
+        S = null_fn(Y, 1.0 - noise_mask, d, freqs)
+        g1 = tgt_mask  # raw, un-floored (Final inference.py:219)
+        if not harmonic_regen:
+            S = S * g1
     else:
         raise ValueError(f"unknown beamformer {beamformer!r}")
+
+    if harmonic_regen:
+        from azoom.beam.postfilter import harmonic_regeneration
+
+        S = harmonic_regeneration(
+            S, g1, cfg.n_fft, cfg.hop, length=n, precision=dsp_precision
+        )
 
     return istft(S, cfg.n_fft, cfg.hop, length=length,
                  precision=dsp_precision)
@@ -273,6 +313,7 @@ def learned_enhance_streaming(
     feature_kind: str = "logmag_ipd",
     train_mic_dist: float | None = None,
     n_nulls: int = 1,
+    harmonic_regen: bool = False,
 ) -> jnp.ndarray:
     """Chunked 2 s / 50 % overlap-add variant for arbitrary-length audio —
     the reference's real-time execution model (Final inference.py:171-233)."""
@@ -281,6 +322,7 @@ def learned_enhance_streaming(
         return learned_enhance(
             chunk, model, variables, cfg, beamformer, feature_kind,
             train_mic_dist=train_mic_dist, n_nulls=n_nulls,
+            harmonic_regen=harmonic_regen,
         )
 
     hop = cfg.win_size // 2

@@ -81,6 +81,12 @@ class AudioZoom:
         matmul-DFT STFT/iSTFT single-pass bf16 (the benchmarked serving
         configuration: 1.32x the step at a ~-54 dB error floor, measured
         zero blind-SIR cost; learned paths only).
+      harmonic_regen: HRNR stage-2 post-filter (azoom.beam.postfilter;
+        reference roadmap TODO:9) on the learned steady-steer paths.
+        Regime guidance from RESULTS.md: on for noisy scenes (stationary
+        interference / low-SNR capture: +0.8-1.0 dB SINR, +0.014-0.034
+        STOI), off (default) for clean competing-talker scenes where the
+        re-opened bins leak interference (-5 dB SIR).
     """
 
     cfg: PipelineConfig = PipelineConfig(mic_dist=0.04)
@@ -95,6 +101,7 @@ class AudioZoom:
     latency: str = "high"
     native: bool = True
     dsp_precision: str = "exact"
+    harmonic_regen: bool = False
 
     def __post_init__(self):
         if self.latency not in ("high", "low"):
@@ -199,6 +206,7 @@ class AudioZoom:
                     steer_deg=jnp.float32(theta), fov_deg=float(self.fov_deg),
                     train_mic_dist=self._train_mic_dist,
                     dsp_precision=self.dsp_precision,
+                    harmonic_regen=self.harmonic_regen,
                 )
             from azoom.pipelines.tracked import steered_heuristic_enhance
 
@@ -216,6 +224,7 @@ class AudioZoom:
                     fov_gate=True,
                     train_mic_dist=self._train_mic_dist,
                     dsp_precision=self.dsp_precision,
+                    harmonic_regen=self.harmonic_regen,
                 )
                 return out
             if hasattr(net, "initial_carries"):
@@ -231,6 +240,7 @@ class AudioZoom:
                 fov_deg=float(self.fov_deg),
                 train_mic_dist=self._train_mic_dist,
                 dsp_precision=self.dsp_precision,
+                harmonic_regen=self.harmonic_regen,
             )
         out, _ = autosteer_enhance(
             window, cfg, fov_center_deg=self.direction_deg,

@@ -34,8 +34,9 @@ def test_harmonic_regeneration_improves_or_keeps_sir():
     mask = ibm_noise_mask(S_t, S_i)
     freqs = rfft_freqs(CFG.n_fft, CFG.fs)
     d = steering_vector(freqs, 90.0, CFG.mic_dist)
-    S = masked_mvdr(Y, mask, d, freqs, target_mask=1.0 - mask)
-    S_hr = harmonic_regeneration(S, Y[0], CFG.n_fft, CFG.hop)
+    S_bf = masked_mvdr(Y, mask, d, freqs)  # unmasked beamformer output
+    g1 = jnp.maximum(1.0 - mask, 0.05)
+    S_hr = harmonic_regeneration(S_bf, g1, CFG.n_fft, CFG.hop, length=32_000)
     out = istft(S_hr, CFG.n_fft, CFG.hop, length=32_000)
     assert np.isfinite(np.asarray(out)).all()
     _, sir = osinr_osir(out, sc["target_ref"], sc["interference_ref"])

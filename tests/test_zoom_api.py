@@ -85,6 +85,14 @@ def test_zoom_api_with_bundled_model():
     _, sir_in = osinr_osir(sc["mixture"][0], sc["target_ref"], sc["interference_ref"])
     assert float(sir) - float(sir_in) > 10.0
 
+    # harmonic_regen=True (the noisy-scene knob, RESULTS.md) must flow
+    # through the facade: a different, finite output at the same shape.
+    az_hr = AudioZoom(cfg=cfg, model="fpu_multigeo", harmonic_regen=True)
+    out_hr = az_hr.enhance(np.asarray(sc["mixture"]))
+    assert out_hr.shape == out.shape
+    assert np.isfinite(out_hr).all()
+    assert float(np.max(np.abs(out_hr - out))) > 1e-8
+
 
 def test_zoom_api_m4_array():
     """Product facade on a 4-mic array: cfg.n_mics drives buffering and
