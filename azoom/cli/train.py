@@ -15,7 +15,7 @@ import os
 def main(argv=None):
     p = argparse.ArgumentParser(prog="azoom.train")
     p.add_argument("--model", default="fpu",
-                   choices=["fpu", "deepfpu", "tpufpu", "blstm", "crn"])
+                   choices=["fpu", "deepfpu", "tpufpu", "blstm", "crn", "qcnn"])
     p.add_argument("--fold", type=int, default=4,
                    help="tpufpu only: frequency space-to-depth factor")
     p.add_argument("--bneck", type=int, default=8,
@@ -40,6 +40,9 @@ def main(argv=None):
                         "AZOOM_DATA_DIR if set, else synthesized speech)")
     p.add_argument("--causal", action="store_true",
                    help="blstm only: unidirectional (streaming frame-latency)")
+    p.add_argument("--pinn-weight", type=float, default=0.0,
+                   help="weight of the physics-informed IPD-consistency "
+                        "residual (PINN-CNN; 0 = plain BCE)")
     p.add_argument("--ckpt", default="checkpoints/mask_estimator")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -65,6 +68,13 @@ def main(argv=None):
         from azoom.models.unet import TPUFPU
 
         model = TPUFPU(base=args.base, fold=args.fold, bneck=args.bneck)
+    elif args.model == "qcnn":
+        from azoom.models.qcnn import QCNNMaskNet
+
+        if args.features != "physics":
+            raise SystemExit("qcnn reads quaternion (physics) features; "
+                             "pass --features physics")
+        model = QCNNMaskNet(base=max(args.base // 4, 1))
     else:
         model_cls = FreqPreservingUNet if args.model == "fpu" else DeepFPU
         model = model_cls(base=args.base)
@@ -96,6 +106,7 @@ def main(argv=None):
         n_samples=int(args.seconds * cfg.fs),
         reverb=args.reverb,
         angle_jitter_deg=args.angle_jitter,
+        pinn_weight=args.pinn_weight,
         corpus_root=args.corpus or os.environ.get("AZOOM_DATA_DIR"),
         init_variables=init_variables,
         seed=args.seed,

@@ -1,4 +1,5 @@
 from azoom.models.blstm import BLSTMMaskNet
+from azoom.models.qcnn import QCNNMaskNet, QuaternionConv
 from azoom.models.quantize import (
     dequantize_variables,
     quantize_variables,
@@ -8,6 +9,8 @@ from azoom.models.unet import DeepFPU, FreqPreservingUNet, pad_frames, time_pool
 
 __all__ = [
     "BLSTMMaskNet",
+    "QCNNMaskNet",
+    "QuaternionConv",
     "DeepFPU",
     "FreqPreservingUNet",
     "pad_frames",

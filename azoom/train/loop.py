@@ -59,13 +59,47 @@ def create_state(
     )
 
 
+def physics_residual(
+    features: jnp.ndarray, pred: jnp.ndarray, feature_kind: str = "logmag_ipd"
+) -> jnp.ndarray:
+    """Physics-informed mask residual — the loss term that makes any conv
+    mask net the reference roadmap's "PINN-CNN" (TODO:6; no reference
+    implementation exists).
+
+    Training scenes steer the target to broadside (train.data.TRAIN_ANGLES
+    puts it at 90 deg, and the steer-aligned serving path rotates every
+    look direction to broadside before feature extraction), where the
+    plane-wave array model says the target's inter-channel phase
+    difference is exactly zero. A mask bin that claims "target" on a bin
+    whose measured IPD contradicts that manifold violates the physics the
+    array is built on; the residual prices the violation as
+    mean(mask * (1 - cos(IPD))) in [0, 2] — smooth, wrap-safe, and zero
+    exactly on the steering manifold. It reads the IPD straight from the
+    feature tensor (channel 1 of 'logmag_ipd', the sin/cos pair of
+    'physics'), so it adds no DSP to the step.
+
+    Low frequencies contribute ~0 for ANY bearing (IPD -> 0 as f -> 0):
+    that is the correct physics — a 2-mic array has no spatial information
+    there — so the prior concentrates exactly where spatial evidence
+    exists.
+    """
+    if feature_kind == "physics":
+        one_minus_cos = 1.0 - features[..., 2]
+    else:
+        one_minus_cos = 1.0 - jnp.cos(features[..., 1])
+    return jnp.mean(pred * one_minus_cos)
+
+
 def make_train_step(
-    mesh: jax.sharding.Mesh | None = None, remat: bool = False
+    mesh: jax.sharding.Mesh | None = None, remat: bool = False,
+    physics_fn: Callable | None = None,
 ) -> Callable:
     """Build the jitted train step; with a mesh, batch dims are sharded over
     the 'data' axis and XLA inserts the gradient all-reduce. ``remat``
     rematerializes the forward pass in the backward (jax.checkpoint),
-    trading FLOPs for HBM so larger batches fit per chip."""
+    trading FLOPs for HBM so larger batches fit per chip. ``physics_fn``
+    (features, pred) -> scalar adds a physics-informed penalty to the BCE
+    objective (see physics_residual — the PINN-CNN axis)."""
 
     def step(state: TrainState, features: jnp.ndarray, label: jnp.ndarray):
         def forward(params, features):
@@ -81,7 +115,10 @@ def make_train_step(
 
         def loss_fn(params):
             pred, mutated = forward(params, features)
-            return bce_loss(pred, label), mutated["batch_stats"]
+            loss = bce_loss(pred, label)
+            if physics_fn is not None:
+                loss = loss + physics_fn(features, pred)
+            return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -134,6 +171,7 @@ def fit(
     log_fn: Callable[[str], None] = print,
     teacher_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     distill_alpha: float = 0.5,
+    pinn_weight: float = 0.0,
 ) -> FitResult:
     """Train a mask estimator on on-the-fly synthesized scenes.
 
@@ -206,7 +244,14 @@ def fit(
             raise FileNotFoundError(f"no wavs under {corpus_root}")
         log_fn(f"[TRAIN] corpus: {len(corpus)} files under {corpus_root}")
 
-    train_step = make_train_step(mesh, remat=remat)
+    physics_fn = None
+    if pinn_weight > 0.0:
+        # PINN-CNN: weight the physics-consistency residual into the
+        # objective (reference roadmap TODO:6).
+        physics_fn = lambda f, p: pinn_weight * physics_residual(  # noqa: E731
+            f, p, feature_kind
+        )
+    train_step = make_train_step(mesh, remat=remat, physics_fn=physics_fn)
     losses = []
     key = jax.random.PRNGKey(seed + 1)
     for i in range(start_step, n_steps):
