@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--corpus", default=None,
                    help="directory of real WAVs to train on (default: env "
                         "AZOOM_DATA_DIR if set, else synthesized speech)")
+    p.add_argument("--native-loader", action="store_true",
+                   help="prefetch corpus batches through the C++ engine "
+                        "(cpp/corpus_engine.cpp) instead of LocalCorpus")
     p.add_argument("--causal", action="store_true",
                    help="blstm only: unidirectional (streaming frame-latency)")
     p.add_argument("--pinn-weight", type=float, default=0.0,
@@ -107,6 +110,7 @@ def main(argv=None):
         reverb=args.reverb,
         angle_jitter_deg=args.angle_jitter,
         pinn_weight=args.pinn_weight,
+        native_loader=args.native_loader,
         corpus_root=args.corpus or os.environ.get("AZOOM_DATA_DIR"),
         init_variables=init_variables,
         seed=args.seed,

@@ -172,6 +172,7 @@ def fit(
     teacher_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     distill_alpha: float = 0.5,
     pinn_weight: float = 0.0,
+    native_loader: bool = False,
 ) -> FitResult:
     """Train a mask estimator on on-the-fly synthesized scenes.
 
@@ -192,6 +193,10 @@ def fit(
     i.e. standard soft-target cross-entropy distillation on top of the
     hard labels. The oracle IBM stays in the mix so the student can
     out-learn teacher errors.
+
+    ``pinn_weight`` > 0 adds the physics-informed IPD-consistency
+    residual (see physics_residual — the reference roadmap's "PINN-CNN"
+    axis) to the BCE objective with that weight.
 
     Fault-tolerant: with ``checkpoint_dir`` set, training resumes from the
     latest saved step after interruption (params + Adam moments + batch
@@ -235,14 +240,34 @@ def fit(
             state = jax.tree_util.tree_map(jnp.asarray, restored)
             log_fn(f"[TRAIN] resumed from step {start_step}")
 
-    corpus = None
+    corpus = native_corpus = None
     if corpus_root is not None:
-        from azoom.sim.datasets import LocalCorpus
+        if native_loader:
+            # C++ prefetch engine (cpp/corpus_engine.cpp): WAV IO/decode
+            # runs in a background thread ahead of the train step — the
+            # native DataLoader(num_workers=2) analogue. Opt-in because
+            # its crop stream is sequential from open, so a mid-run
+            # resume re-draws from the stream start (the Python path
+            # keys every step's crops independently).
+            from azoom.sim.corpus_native import NativeCorpus, native_available
 
-        corpus = LocalCorpus(corpus_root, cfg.fs)
-        if not len(corpus):
-            raise FileNotFoundError(f"no wavs under {corpus_root}")
-        log_fn(f"[TRAIN] corpus: {len(corpus)} files under {corpus_root}")
+            if native_available():
+                native_corpus = NativeCorpus(
+                    corpus_root, cfg.fs, n_signals=3 * batch_size,
+                    n_samples=n_samples, seed=seed,
+                )
+                log_fn(f"[TRAIN] native corpus loader: "
+                       f"{len(native_corpus)} files under {corpus_root}")
+            else:
+                log_fn("[TRAIN] native loader unavailable; "
+                       "falling back to LocalCorpus")
+        if native_corpus is None:
+            from azoom.sim.datasets import LocalCorpus
+
+            corpus = LocalCorpus(corpus_root, cfg.fs)
+            if not len(corpus):
+                raise FileNotFoundError(f"no wavs under {corpus_root}")
+            log_fn(f"[TRAIN] corpus: {len(corpus)} files under {corpus_root}")
 
     physics_fn = None
     if pinn_weight > 0.0:
@@ -256,11 +281,14 @@ def fit(
     key = jax.random.PRNGKey(seed + 1)
     for i in range(start_step, n_steps):
         batch_key = jax.random.fold_in(key, i)
-        if corpus is not None:
+        if native_corpus is not None or corpus is not None:
             from azoom.train.data import mix_batch
 
-            rng = np.random.default_rng(seed * 1_000_003 + i)
-            sources = corpus.sample_batch(rng, 3 * batch_size, n_samples)
+            if native_corpus is not None:
+                sources = native_corpus.next_batch()
+            else:
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                sources = corpus.sample_batch(rng, 3 * batch_size, n_samples)
             batch = mix_batch(
                 batch_key,
                 jnp.asarray(sources.reshape(batch_size, 3, n_samples)),
@@ -287,6 +315,8 @@ def fit(
             import orbax.checkpoint as ocp
 
             mngr.save(i + 1, args=ocp.args.StandardSave(state))
+    if native_corpus is not None:
+        native_corpus.close()
     if mngr is not None:
         mngr.wait_until_finished()
     return FitResult(state=state, losses=losses, steps_run=n_steps - start_step)
