@@ -17,10 +17,27 @@ import jax as _jax
 # Persistent compilation cache: first TPU compiles in this environment go
 # through a remote-compile tunnel and can take minutes; caching makes every
 # subsequent process start fast. Opt out with AZOOM_NO_COMPILE_CACHE=1.
-if not _os.environ.get("AZOOM_NO_COMPILE_CACHE"):
+#
+# TPU-family backends ONLY: serializing mesh-compiled CPU executables through
+# the persistent cache has been observed to segfault the interpreter on some
+# hosts (both the cache read and write paths), so the cache is never enabled
+# when the requested platform is CPU (the test-suite configuration) or when
+# no platform is pinned. The cache dir is versioned by the JAX version so a
+# jax upgrade can never deserialize a stale incompatible executable.
+
+
+def _enable_compile_cache():
+    if _os.environ.get("AZOOM_NO_COMPILE_CACHE"):
+        return
+    platforms = _os.environ.get("JAX_PLATFORMS", "")
+    primary = platforms.split(",")[0].strip().lower()
+    if primary not in ("tpu", "axon"):
+        return
     _cache_dir = _os.environ.get(
         "AZOOM_COMPILE_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "azoom_jax_cache"),
+        _os.path.join(
+            _os.path.expanduser("~"), ".cache", f"azoom_jax_cache_{_jax.__version__}"
+        ),
     )
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
@@ -28,6 +45,9 @@ if not _os.environ.get("AZOOM_NO_COMPILE_CACHE"):
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+
+_enable_compile_cache()
 
 from azoom.config import DEFAULT, GEN1, PipelineConfig, RoomConfig
 from azoom.zoom_api import AudioZoom

@@ -57,6 +57,8 @@ def _load():
     lib.azoom_corpus_open.restype = ctypes.c_void_p
     lib.azoom_corpus_n_files.argtypes = [ctypes.c_void_p]
     lib.azoom_corpus_n_files.restype = ctypes.c_int
+    lib.azoom_corpus_n_dropped.argtypes = [ctypes.c_void_p]
+    lib.azoom_corpus_n_dropped.restype = ctypes.c_int
     lib.azoom_corpus_next.argtypes = [ctypes.c_void_p, f1]
     lib.azoom_corpus_close.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -89,10 +91,19 @@ class NativeCorpus:
             n_signals, n_samples, depth,
         )
         if not self._h:
-            raise FileNotFoundError(f"no wavs under {root}")
+            raise FileNotFoundError(f"no decodable wavs under {root}")
+        dropped = self.n_dropped
+        if dropped:
+            print(f"[CORPUS] native loader dropped {dropped} undecodable "
+                  f"wav(s) under {root} ({len(self)} usable)")
 
     def __len__(self) -> int:
         return int(self._lib.azoom_corpus_n_files(self._h))
+
+    @property
+    def n_dropped(self) -> int:
+        """Files found but rejected by the open-time decode probe."""
+        return int(self._lib.azoom_corpus_n_dropped(self._h))
 
     def next_batch(self) -> np.ndarray:
         """(n_signals, n_samples) float32 — blocks only if the prefetch

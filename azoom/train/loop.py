@@ -279,6 +279,31 @@ def fit(
     train_step = make_train_step(mesh, remat=remat, physics_fn=physics_fn)
     losses = []
     key = jax.random.PRNGKey(seed + 1)
+    try:
+        state, losses = _fit_loop(
+            state, train_step, key, start_step, n_steps, batch_size, cfg,
+            feature_kind, n_samples, angle_jitter_deg, reverb,
+            interferer_kind, seed, corpus, native_corpus, teacher_fn,
+            distill_alpha, mngr, checkpoint_every, log_every, log_fn,
+        )
+    finally:
+        # Always stop the C++ prefetch thread — an exception or Ctrl-C
+        # mid-training must not leave the worker and ring buffers alive
+        # until GC reaches __del__.
+        if native_corpus is not None:
+            native_corpus.close()
+    if mngr is not None:
+        mngr.wait_until_finished()
+    return FitResult(state=state, losses=losses, steps_run=n_steps - start_step)
+
+
+def _fit_loop(
+    state, train_step, key, start_step, n_steps, batch_size, cfg,
+    feature_kind, n_samples, angle_jitter_deg, reverb, interferer_kind,
+    seed, corpus, native_corpus, teacher_fn, distill_alpha, mngr,
+    checkpoint_every, log_every, log_fn,
+):
+    losses = []
     for i in range(start_step, n_steps):
         batch_key = jax.random.fold_in(key, i)
         if native_corpus is not None or corpus is not None:
@@ -315,11 +340,7 @@ def fit(
             import orbax.checkpoint as ocp
 
             mngr.save(i + 1, args=ocp.args.StandardSave(state))
-    if native_corpus is not None:
-        native_corpus.close()
-    if mngr is not None:
-        mngr.wait_until_finished()
-    return FitResult(state=state, losses=losses, steps_run=n_steps - start_step)
+    return state, losses
 
 
 def _abstract(tree, device=None):
