@@ -77,6 +77,11 @@ def build_parser():
                         "--mic-dist spacing). The reference is hard-wired "
                         "to 2; M>2 buys M-1 spatial nulls (oracle/mvdr/wpd "
                         "beamformers; see RESULTS.md DoF study)")
+    p.add_argument("--geometry", default=None,
+                   help="explicit mic coordinates in meters ('x,y;x,y;...')"
+                        " — overrides --mics/--mic-dist; the simulated "
+                        "room places the real array and steering uses its "
+                        "true positions (round-4 arbitrary-geometry axis)")
     p.add_argument("--no-geo-adapt", action="store_true")
     p.add_argument("--max-order", type=int, default=None,
                    help="image-source order for per-run simulation")
@@ -173,10 +178,16 @@ def run_vectorized(args):
     # rtf) is M-mic-general: 2-mic closed forms stay the M=2 hot path,
     # linalgmm's unrolled Cholesky/Jacobi serve M>2.
     cfg = DEFAULT.replace(mic_dist=args.mic_dist, n_mics=args.mics)
+    if getattr(args, "geometry", None):
+        from azoom.config import parse_geometry
+
+        cfg = cfg.with_geometry(parse_geometry(args.geometry))
     # Keep the simulated room's physical array consistent with the
     # enhancement config (round-3 fix: the room previously kept its 8 cm
     # default pair whatever --mic-dist said). with_linear_array(2, d)
-    # reproduces the historical with_mic_dist(d) pair exactly.
+    # reproduces the historical with_mic_dist(d) pair exactly. (With
+    # --geometry, _scene_from_key overrides this room with the explicit
+    # array via with_array_positions.)
     room = ROOM_DEFAULT.with_linear_array(args.mics, args.mic_dist)
     reverb = not args.no_reverb
     n_dev = len(jax.devices())

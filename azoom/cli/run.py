@@ -86,6 +86,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "spacing when --mic-dist is smaller than it)")
     p.add_argument("--mic-dist", type=float, default=None,
                    help="mic spacing in meters (default from config)")
+    p.add_argument("--geometry", default=None,
+                   help="explicit mic coordinates in meters, e.g. a 4-mic "
+                        "rectangle '-0.015,-0.01;0.015,-0.01;-0.015,0.01;"
+                        "0.015,0.01' — overrides --mics/--mic-dist for "
+                        "sim, steering, and localization (round-4 "
+                        "arbitrary-geometry axis; the reference is "
+                        "hard-wired to scalar spacing, masked_mvdr.py:22-35)")
     p.add_argument("--mics", type=int, default=2,
                    help="mic count (sim: simulate an M-element linear "
                         "array at --mic-dist spacing; inf adapts to the "
@@ -123,6 +130,10 @@ def _config(args):
     cfg = DEFAULT.replace(angle_target_deg=args.angle)
     if getattr(args, "mic_dist", None) is not None:
         cfg = cfg.replace(mic_dist=args.mic_dist)
+    if getattr(args, "geometry", None):
+        from azoom.config import parse_geometry
+
+        cfg = cfg.with_geometry(parse_geometry(args.geometry))
     if args.zoom is not None:
         from azoom.beam.zoom import zoom_to_sigma
 
@@ -148,7 +159,11 @@ def do_sim(args, paths: PathsConfig) -> Path:
     )
     print(f"[SIM] Generating scene '{args.name}' ({spec})...")
     room = RoomConfig()
-    if args.mic_dist is not None or args.mics != 2:
+    if getattr(args, "geometry", None):
+        from azoom.config import parse_geometry
+
+        room = room.with_array_positions(parse_geometry(args.geometry))
+    elif args.mic_dist is not None or args.mics != 2:
         # Sim matches enhancement: re-space (and optionally extend) the
         # simulated array. with_linear_array(2, d) == with_mic_dist(d).
         (x0, _, _), (x1, _, _) = room.mic_locs[0], room.mic_locs[1]
@@ -341,7 +356,7 @@ def do_inf(args, paths: PathsConfig) -> Path:
 
         Y = stft(mixture, cfg.n_fft, cfg.hop)
         freqs = rfft_freqs(cfg.n_fft, cfg.fs)
-        tau = far_field_delays(cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
+        tau = far_field_delays(cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
         expected_ipd = -2.0 * jnp.pi * freqs * (tau[0] - tau[1])
         noise_mask = ipd_deviation_noise_mask(Y, expected_ipd)
         S = max_snr_fov_beamform(

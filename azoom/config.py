@@ -17,6 +17,30 @@ from pathlib import Path
 SPEED_OF_SOUND = 343.0  # m/s
 
 
+def parse_geometry(spec: str) -> tuple[tuple[float, ...], ...]:
+    """Parse a CLI ``--geometry`` string into a mic_positions tuple.
+
+    Format: semicolon-separated mics, comma-separated coordinates in
+    meters — ``"x,y"`` or ``"x,y,z"`` per mic (a bare ``"x"`` means a
+    point on the array axis). Example, a 4-mic 3 x 2 cm rectangle:
+    ``"-0.015,-0.01;0.015,-0.01;-0.015,0.01;0.015,0.01"``.
+    """
+    mics = []
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        coords = tuple(float(v) for v in part.split(","))
+        if not 1 <= len(coords) <= 3:
+            raise ValueError(
+                f"--geometry mic '{part}': expected 1-3 coordinates"
+            )
+        mics.append(coords)
+    if len(mics) < 2:
+        raise ValueError("--geometry needs at least 2 mics")
+    return tuple(mics)
+
+
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     """Static physics + STFT configuration (hashable; safe to close over in jit)."""
@@ -33,9 +57,16 @@ class PipelineConfig:
     # (Final_pipeline/src/config.py:19 WIN_SIZE=32000)
     win_size: int = 32_000
 
-    # Array geometry: 2-mic linear array
+    # Array geometry: 2-mic linear array by default. ``mic_positions``
+    # (round 4) expresses ARBITRARY planar/3-D arrays — a tuple of
+    # (x, y) or (x, y, z) coordinates in meters, array-centered; when
+    # set it overrides the uniform-linear (n_mics, mic_dist) layout for
+    # steering, scene synthesis, and localization. Use with_geometry()
+    # to set it (keeps n_mics in sync). The reference is hard-wired to
+    # the scalar-spacing model (masked_mvdr.py:22-35).
     n_mics: int = 2
     mic_dist: float = 0.08  # Final_pipeline/src/config.py:29 MIC_DIST
+    mic_positions: tuple[tuple[float, ...], ...] | None = None
     c: float = SPEED_OF_SOUND
 
     # Beamforming
@@ -59,6 +90,27 @@ class PipelineConfig:
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
 
+    def with_geometry(self, positions) -> "PipelineConfig":
+        """Explicit array geometry: ``positions`` is an iterable of
+        per-mic (x,), (x, y) or (x, y, z) coordinates in meters (or bare
+        floats, taken as x on the array axis). Sets ``mic_positions``
+        and keeps ``n_mics`` consistent."""
+        pos = tuple(
+            tuple(float(v) for v in (p if hasattr(p, "__len__") else (p,)))
+            for p in positions
+        )
+        return self.replace(mic_positions=pos, n_mics=len(pos))
+
+    def geometry(self):
+        """Explicit mic coordinates as a jnp array (M, k) — or None when
+        the array is the canonical uniform-linear layout. Pass as the
+        ``positions=`` argument of dsp.delays functions."""
+        if self.mic_positions is None:
+            return None
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.mic_positions, jnp.float32)
+
     def for_input(self, mixture) -> "PipelineConfig":
         """Reconcile the static mic count with an (..., M, n) input.
 
@@ -71,7 +123,16 @@ class PipelineConfig:
         if getattr(mixture, "ndim", 1) < 2:
             return self
         m = int(mixture.shape[-2])
-        return self if m == self.n_mics else self.replace(n_mics=m)
+        if m == self.n_mics:
+            return self
+        if self.mic_positions is not None:
+            # An explicit geometry can't be silently re-spaced: a channel
+            # count that disagrees with it is a real misconfiguration.
+            raise ValueError(
+                f"input has {m} channels but mic_positions describes "
+                f"{self.n_mics} mics; fix the geometry or the recording"
+            )
+        return self.replace(n_mics=m)
 
 
 # The canonical "final generation" configuration (reference gen 4).
@@ -123,6 +184,26 @@ class RoomConfig:
             (cx - span / 2 + m * mic_dist, y, z) for m in range(n_mics)
         )
         return dataclasses.replace(self, mic_locs=locs)
+
+
+    def with_array_positions(self, positions) -> "RoomConfig":
+        """Place an EXPLICIT mic array in the room: ``positions`` is the
+        PipelineConfig.mic_positions tuple — per-mic (x,), (x, y) or
+        (x, y, z) offsets in meters, array-centered. The array center is
+        kept where the original pair's center was, array-x along room-x
+        and array-y along room-y (the steering plane is the room floor
+        plane). Completes the round-4 arbitrary-geometry axis for the
+        reverb simulator."""
+        (x0, y0, z0), (x1, _, _) = self.mic_locs[0], self.mic_locs[1]
+        cx = 0.5 * (x0 + x1)
+        locs = []
+        for p in positions:
+            p = tuple(p) if hasattr(p, "__len__") else (float(p),)
+            px = p[0]
+            py = p[1] if len(p) > 1 else 0.0
+            pz = p[2] if len(p) > 2 else 0.0
+            locs.append((cx + px, y0 + py, z0 + pz))
+        return dataclasses.replace(self, mic_locs=tuple(locs))
 
 
 ROOM_DEFAULT = RoomConfig()

@@ -35,6 +35,7 @@ def srp_map(
     n_angles: int = 181,
     c: float = 343.0,
     phat: bool = False,
+    positions: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Steered response power over an azimuth grid.
 
@@ -43,6 +44,8 @@ def srp_map(
       freqs_hz: (F,) bin frequencies.
       band_hz: analysis band (debug_srp.py:54 uses 200-4000 Hz).
       phat: magnitude-whiten Y before steering (SRP-PHAT).
+      positions: optional explicit mic coordinates — localization on
+        arbitrary planar arrays (round 4); overrides ``mic_dist``.
 
     Returns:
       (angles_deg (A,), power (..., A)) with power linear (normalize to dB
@@ -52,7 +55,8 @@ def srp_map(
     M = Y.shape[-3]
     if phat:
         Y = Y / (jnp.abs(Y) + 1e-10)
-    D = steering_matrix(freqs_hz, angles, mic_dist, c, M)  # (A, F, M)
+    D = steering_matrix(freqs_hz, angles, mic_dist, c, M,
+                        positions=positions)  # (A, F, M)
     band = (freqs_hz >= band_hz[0]) & (freqs_hz <= band_hz[1])
     # Delay-and-sum at each angle: s_a(f,t) = d_a(f)^H Y(:,f,t) / M.
     S = jnp.einsum("afm,...mft->...aft", jnp.conj(D), Y) / M
@@ -64,10 +68,12 @@ def srp_localize(
     Y: jnp.ndarray,
     freqs_hz: jnp.ndarray,
     mic_dist: float,
+    positions: jnp.ndarray | None = None,
     **kwargs,
 ) -> jnp.ndarray:
     """Peak of the SRP map: estimated source azimuth in degrees (...,)."""
-    angles, power = srp_map(Y, freqs_hz, mic_dist, **kwargs)
+    angles, power = srp_map(Y, freqs_hz, mic_dist, positions=positions,
+                            **kwargs)
     return angles[jnp.argmax(power, axis=-1)]
 
 

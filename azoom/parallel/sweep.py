@@ -116,10 +116,14 @@ def _scene_from_key(
         # simulate the 8 cm pair while steering/geo-adapting for 1 cm
         # (the round-3 geometry fix, applied at the source instead of
         # only in the batch CLI).
-        (x0, _, _), (x1, _, _) = room.mic_locs[0], room.mic_locs[1]
-        if (len(room.mic_locs) != cfg.n_mics
-                or abs(abs(x1 - x0) - cfg.mic_dist) > 1e-9):
-            room = room.with_linear_array(cfg.n_mics, cfg.mic_dist)
+        if cfg.mic_positions is not None:
+            # Explicit geometry: place the actual array in the room.
+            room = room.with_array_positions(cfg.mic_positions)
+        else:
+            (x0, _, _), (x1, _, _) = room.mic_locs[0], room.mic_locs[1]
+            if (len(room.mic_locs) != cfg.n_mics
+                    or abs(abs(x1 - x0) - cfg.mic_dist) > 1e-9):
+                room = room.with_linear_array(cfg.n_mics, cfg.mic_dist)
         return simulate_room_scene(
             k_geo, sigs[0], sigs[1:], room, reverb=True, fs=cfg.fs,
             snr_db=snr_db,
@@ -137,7 +141,7 @@ def _scene_from_key(
         angles = jnp.asarray(_FIXED_ANGLES[:n_interferers])
     sc = make_scene(
         sigs[0], sigs[1:], cfg.angle_target_deg, angles, cfg.mic_dist,
-        cfg.fs, n_mics=cfg.n_mics,
+        cfg.fs, n_mics=cfg.n_mics, positions=cfg.geometry(),
     )
     if snr_db < 50.0:  # 50 = the reference's effectively-noiseless default
         from azoom.sim.scene import add_awgn

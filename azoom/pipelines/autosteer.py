@@ -93,8 +93,19 @@ def autosteer_enhance(
 
     # Sparsity-based DOA histogram — resolves multiple talkers where
     # broadband SRP lobes merge on a small 2-mic aperture (see
-    # azoom.localize.srp.ipd_angle_histogram).
-    angles, hist = ipd_angle_histogram(Y, cfg.mic_dist, cfg.fs, c=cfg.c)
+    # azoom.localize.srp.ipd_angle_histogram). The histogram is a
+    # pair-IPD technique built on the linear spacing model; with an
+    # EXPLICIT arbitrary geometry the SRP-PHAT scan over the true
+    # positions replaces it (same (angles, score) contract).
+    if cfg.mic_positions is not None:
+        from azoom.localize.srp import srp_map
+
+        angles, hist = srp_map(
+            Y, freqs, cfg.mic_dist, c=cfg.c, phat=True,
+            positions=cfg.geometry(),
+        )
+    else:
+        angles, hist = ipd_angle_histogram(Y, cfg.mic_dist, cfg.fs, c=cfg.c)
     sigma_p = (fov_width_deg / 5.0 if center_prior_deg is None
                else center_prior_deg)
     prior = jnp.exp(-0.5 * ((angles - fov_center_deg) / sigma_p) ** 2)
@@ -117,10 +128,10 @@ def autosteer_enhance(
         )
         return out, theta
 
-    d = steering_vector(freqs, theta, cfg.mic_dist, cfg.c, cfg.n_mics)
+    d = steering_vector(freqs, theta, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
     # Expected IPD at the estimated bearing: phase difference of the two
     # steering components.
-    tau = far_field_delays(theta, cfg.mic_dist, cfg.c, cfg.n_mics)  # (M,)
+    tau = far_field_delays(theta, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())  # (M,)
     expected_ipd = -2.0 * jnp.pi * freqs * (tau[0] - tau[1])
     noise_mask = ipd_deviation_noise_mask(Y, expected_ipd, width=mask_width)
 

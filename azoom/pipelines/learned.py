@@ -164,7 +164,8 @@ def learned_enhance(
     if steer_align:
         freqs_al = rfft_freqs(cfg.n_fft, cfg.fs)
         d_al = steering_vector(
-            freqs_al, steer, cfg.mic_dist, cfg.c, cfg.n_mics
+            freqs_al, steer, cfg.mic_dist, cfg.c, cfg.n_mics,
+            positions=cfg.geometry(),
         )  # (..., F, M)
         # Per-channel unit-modulus rotation: the target's inter-channel
         # phases become zero (broadside as seen by the features); channel
@@ -189,7 +190,7 @@ def learned_enhance(
     g1 = jnp.maximum(tgt_mask, mask_floor) if mask_floor > 0 else tgt_mask
 
     if beamformer == "mvdr":
-        d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics)
+        d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
         mvdr_fn = masked_mvdr
         if use_pallas and cfg.n_mics == 2:
             # The fused kernel is specialized to the 2-mic closed form;
@@ -208,7 +209,7 @@ def learned_enhance(
     elif beamformer == "rmvb":
         from azoom.beam.rmvb import rmvb_beamform
 
-        d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics)
+        d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
         S = rmvb_beamform(
             Y, noise_mask, d, freqs,
             sigma=cfg.sigma, hp_cutoff_hz=cfg.hp_cutoff_hz,
@@ -223,7 +224,7 @@ def learned_enhance(
         # the low-confidence fallback, so 'rtf' tolerates wrong mic_dist /
         # look angles AND reverberant transfer functions the anechoic
         # model can't describe (azoom.beam.rtf).
-        d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics)
+        d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
         S = rtf_mvdr_beamform(
             Y,
             noise_mask,
@@ -238,7 +239,7 @@ def learned_enhance(
     elif beamformer == "wpd":
         from azoom.beam.wpd import masked_wpd
 
-        d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics)
+        d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
         # Joint dereverb + beamform: the convolutional filter replaces the
         # reference's WPE -> MVDR cascade (dereverb.py -> oracle_reverb.py)
         # with one weighted solve; the FOV gate composes through the
@@ -272,6 +273,7 @@ def learned_enhance(
     elif beamformer == "hard_null":
         d = steering_vector(
             freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics,
+            positions=cfg.geometry(),
             normalize_phase=True,
         )
         null_fn = functools.partial(

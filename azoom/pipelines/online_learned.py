@@ -62,7 +62,7 @@ def online_learned_enhance(
 
     Y = stft(mixture, cfg.n_fft, cfg.hop)  # (M, F, T)
     freqs = rfft_freqs(cfg.n_fft, cfg.fs)
-    d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics)
+    d = steering_vector(freqs, steer, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
     Y_feat = Y * jnp.conj(d).swapaxes(-1, -2)[..., None] if steer_align else Y
     feats = logmag_ipd_features(Y_feat)[None]  # (1, F, T, C)
     tgt_mask = model.apply(variables, feats)[0]  # (F, T)

@@ -63,7 +63,7 @@ def oracle_enhance(
 
     noise_mask = ibm_noise_mask(S_tgt, S_int)
     freqs = rfft_freqs(cfg.n_fft, cfg.fs)
-    d = steering_vector(freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
+    d = steering_vector(freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
 
     if post_filter == "binary":
         tgt_mask = 1.0 - noise_mask
@@ -101,7 +101,7 @@ def heuristic_enhance(
     Y = stft(mixture, cfg.n_fft, cfg.hop)
     noise_mask = hard_geometric_noise_mask(Y)
     freqs = rfft_freqs(cfg.n_fft, cfg.fs)
-    d = steering_vector(freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
+    d = steering_vector(freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
 
     S_out = masked_mvdr(
         Y,

@@ -62,8 +62,8 @@ def steered_heuristic_enhance(
     cfg = cfg.for_input(chunk)
     freqs = rfft_freqs(cfg.n_fft, cfg.fs)
     Y = stft(chunk, cfg.n_fft, cfg.hop, precision=dsp_precision)
-    d = steering_vector(freqs, theta_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
-    tau = far_field_delays(theta_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
+    d = steering_vector(freqs, theta_deg, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
+    tau = far_field_delays(theta_deg, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
     expected_ipd = -2.0 * jnp.pi * freqs * (tau[0] - tau[1])
     noise_mask = ipd_deviation_noise_mask(Y, expected_ipd, width=mask_width)
     S = masked_mvdr(

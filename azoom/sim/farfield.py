@@ -25,6 +25,7 @@ def mix_far_field(
     fs: float,
     c: float = 343.0,
     n_mics: int = 2,
+    positions: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Mix S far-field sources into an M-mic array observation.
 
@@ -33,18 +34,25 @@ def mix_far_field(
       angles_deg: (S,) or (..., S) azimuths.
       mic_dist: inter-mic spacing (m).
       fs: sample rate (Hz).
+      positions: optional explicit mic coordinates ((M,), (M, 2) or
+        (M, 3) meters) — arbitrary-geometry synthesis (round 4).
 
     Returns:
       (..., M, n) mixture = sum_s delay(source_s, tau_m(theta_s)).
     """
     return jnp.sum(
-        _delayed_images(sources, angles_deg, mic_dist, c, n_mics, fs), axis=-3
+        _delayed_images(sources, angles_deg, mic_dist, c, n_mics, fs,
+                        positions),
+        axis=-3,
     )
 
 
-def _delayed_images(sources, angles_deg, mic_dist, c, n_mics, fs):
+def _delayed_images(sources, angles_deg, mic_dist, c, n_mics, fs,
+                    positions=None):
     """Per-source per-mic delayed copies (..., S, M, n)."""
-    tau = far_field_delays(jnp.asarray(angles_deg), mic_dist, c, n_mics)  # (..., S, M)
+    tau = far_field_delays(
+        jnp.asarray(angles_deg), mic_dist, c, n_mics, positions
+    )  # (..., S, M)
     src = jnp.expand_dims(sources, -2)  # (..., S, 1, n)
     return fractional_delay(src, tau, fs)
 
@@ -59,6 +67,7 @@ def make_scene(
     c: float = 343.0,
     n_mics: int = 2,
     normalize: bool = True,
+    positions: jnp.ndarray | None = None,
 ):
     """Build a far-field scene with ground-truth stems.
 
@@ -82,7 +91,9 @@ def make_scene(
             jnp.asarray(interferer_angles_deg, dtype=jnp.float32).reshape(-1),
         ]
     )
-    imgs = _delayed_images(sources, angles, mic_dist, c, n_mics, fs)  # (..., S, M, n)
+    imgs = _delayed_images(
+        sources, angles, mic_dist, c, n_mics, fs, positions
+    )  # (..., S, M, n)
     mixture = jnp.sum(imgs, axis=-3)  # (..., M, n)
     target_ref = imgs[..., 0, 0, :]
     interference_ref = jnp.sum(imgs[..., 1:, 0, :], axis=-2)

@@ -57,7 +57,7 @@ def _make_step(model, variables: Any, cfg: PipelineConfig, forget: float,
         # azoom.dsp.stft (Hann, 1/win.sum() scaling).
         fr = jnp.asarray(freqs)
         y = jnp.fft.rfft(ctx * win, axis=-1) / jnp.sum(win)  # (M, F)
-        d = steering_vector(fr, steer_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
+        d = steering_vector(fr, steer_deg, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
         # Steer-aligned features (parity with online_learned_enhance):
         # rotate by conj(d) so the look direction appears broadside to the
         # broadside-trained causal net; exact no-op at steer_deg = 90.

@@ -99,7 +99,7 @@ def online_enhance(
     length = n if length is None else length
     Y = stft(mixture, cfg.n_fft, cfg.hop)
     freqs = rfft_freqs(cfg.n_fft, cfg.fs)
-    d = steering_vector(freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics)
+    d = steering_vector(freqs, cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
     S = online_masked_mvdr(
         Y, noise_mask_fn_output, d, freqs, cfg.sigma, cfg.hp_cutoff_hz, forget
     )

@@ -1,0 +1,168 @@
+"""Arbitrary array geometry (round-4 VERDICT item 5).
+
+The reference's steering model is a scalar-spacing uniform linear array
+(masked_mvdr.py:22-35); azoom generalizes every geometry consumer —
+steering, far-field delays, anechoic + room scene synthesis, SRP
+localization, the sweeps, and the CLIs — to explicit per-mic
+coordinates (PipelineConfig.mic_positions)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from azoom.config import DEFAULT, PipelineConfig, RoomConfig, parse_geometry
+from azoom.dsp.delays import (
+    far_field_delays,
+    mic_positions,
+    positions_2d,
+    steering_vector,
+)
+
+# A non-uniform 4-mic rectangle: 3 cm wide, 2 cm tall (a camera-bar /
+# tablet-corner style device array).
+RECT = ((-0.015, -0.01), (0.015, -0.01), (-0.015, 0.01), (0.015, 0.01))
+
+
+def test_linear_positions_reproduce_mic_dist_model():
+    """Explicit x-axis coordinates must give bit-identical steering to
+    the canonical (n_mics, mic_dist) layout at any angle and mic count."""
+    freqs = jnp.linspace(0.0, 8_000.0, 129)
+    for m in (2, 4):
+        lin = mic_positions(m, 0.05)
+        for angle in (30.0, 90.0, 147.0):
+            d_ref = steering_vector(freqs, angle, 0.05, n_mics=m)
+            d_pos = steering_vector(freqs, angle, 0.0, n_mics=m,
+                                    positions=lin)
+            np.testing.assert_allclose(
+                np.asarray(d_pos.real), np.asarray(d_ref.real), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(d_pos.imag), np.asarray(d_ref.imag), atol=1e-6
+            )
+
+
+def test_rectangle_delays_hand_computed():
+    """tau_m = (p_m . (cos theta, sin theta)) / c for the rectangle."""
+    theta = 37.0
+    tau = np.asarray(far_field_delays(theta, 0.0, n_mics=4,
+                                      positions=jnp.asarray(RECT)))
+    u = np.array([np.cos(np.deg2rad(theta)), np.sin(np.deg2rad(theta))])
+    expected = np.asarray(RECT) @ u / 343.0
+    np.testing.assert_allclose(tau, expected.astype(np.float32), atol=1e-9)
+
+
+def test_positions_2d_shapes():
+    # bare (M,) x-coordinates become (M, 2); (M, 3) drops z
+    p1 = positions_2d(2, 0.0, jnp.asarray([0.04, -0.04]))
+    assert p1.shape == (2, 2) and float(p1[0, 1]) == 0.0
+    p3 = positions_2d(4, 0.0, jnp.asarray([[0, 0, 1.5]] * 4, jnp.float32))
+    assert p3.shape == (4, 2)
+
+
+def test_config_with_geometry_and_validation():
+    cfg = DEFAULT.with_geometry(RECT)
+    assert cfg.n_mics == 4
+    assert cfg.mic_positions == RECT
+    assert cfg.geometry().shape == (4, 2)
+    # hashable (jit-static) with geometry set
+    hash(cfg)
+    # 4-channel input passes; 2-channel input is a hard error (explicit
+    # geometry can't be silently re-spaced)
+    x4 = jnp.zeros((4, 100))
+    assert cfg.for_input(x4) is cfg
+    with pytest.raises(ValueError):
+        cfg.for_input(jnp.zeros((2, 100)))
+    # linear configs keep the round-2 reconcile behavior
+    assert DEFAULT.for_input(x4).n_mics == 4
+
+
+def test_parse_geometry():
+    assert parse_geometry("-0.015,-0.01; 0.015,-0.01") == (
+        (-0.015, -0.01), (0.015, -0.01)
+    )
+    assert parse_geometry("0.04;-0.04") == ((0.04,), (-0.04,))
+    with pytest.raises(ValueError):
+        parse_geometry("0.01")
+    with pytest.raises(ValueError):
+        parse_geometry("1,2,3,4;5")
+
+
+def test_room_places_explicit_array():
+    room = RoomConfig().with_array_positions(RECT)
+    locs = np.asarray(room.mic_locs)
+    assert locs.shape == (4, 3)
+    # array-centered at the original pair's center, offsets preserved
+    assert np.ptp(locs[:, 0]) == pytest.approx(0.03)
+    assert np.ptp(locs[:, 1]) == pytest.approx(0.02)
+    assert np.allclose(locs[:, 2], room.mic_locs[0][2])
+
+
+def test_oracle_sweep_on_rectangle_geometry():
+    """End to end: anechoic scenes SYNTHESIZED on the rectangle, oracle
+    mask + M-mic MVDR STEERED with the rectangle — high SIR improvement
+    proves synthesis and enhancement agree on the true geometry."""
+    from azoom.parallel.sweep import oracle_sweep
+
+    cfg = PipelineConfig(mic_dist=0.04).with_geometry(RECT)
+    r = oracle_sweep(
+        jax.random.PRNGKey(0), cfg, n_scenes=2, n_samples=16_000,
+        n_interferers=2,
+    )
+    imp = np.asarray(r["sir_imp"])
+    assert np.all(np.isfinite(imp))
+    assert imp.mean() > 15.0, imp
+
+
+def test_oracle_sweep_rectangle_beats_mismatched_steering():
+    """Steering with the WRONG geometry (the linear model) on
+    rectangle-synthesized scenes must cost SIR vs steering with the true
+    positions — i.e. the geometry actually reaches the beamformer."""
+    from azoom.parallel.sweep import oracle_sweep
+
+    cfg_true = PipelineConfig(mic_dist=0.04).with_geometry(RECT)
+    r_true = oracle_sweep(
+        jax.random.PRNGKey(0), cfg_true, n_scenes=2, n_samples=16_000,
+        n_interferers=2,
+    )
+    # Same scenes, enhancement believing a 4-mic 1 cm linear array:
+    # build the scenes with the rectangle but steer with the linear
+    # model by scoring through a manual pipeline.
+    from azoom.pipelines.oracle import oracle_enhance
+    from azoom.eval.projection import osinr_osir
+    from azoom.parallel.sweep import _scene_from_key
+
+    k = jax.random.split(jax.random.PRNGKey(0), 2)[0]
+    sc = _scene_from_key(
+        k, cfg_true, 16_000, 2, False, False, RoomConfig()
+    )
+    cfg_wrong = PipelineConfig(mic_dist=0.01, n_mics=4)
+    out_wrong = oracle_enhance(
+        sc["mixture"], sc["target_ref"], sc["interference_ref"], cfg_wrong
+    )
+    _, sir_wrong = osinr_osir(
+        out_wrong, sc["target_ref"], sc["interference_ref"]
+    )
+    assert float(np.asarray(r_true["sir_out"])[0]) > float(sir_wrong) + 3.0
+
+
+def test_srp_localizes_on_rectangle():
+    """SRP with true positions finds a 60-degree source on the
+    rectangle-synthesized scene."""
+    from azoom.dsp.stft import rfft_freqs, stft
+    from azoom.localize.srp import srp_localize
+    from azoom.sim.farfield import make_scene
+    from azoom.sim.signals import speech_like
+
+    key = jax.random.PRNGKey(3)
+    tgt = speech_like(key, 16_000, 16_000)
+    sc = make_scene(
+        tgt, jnp.zeros((0, 16_000)), 60.0, jnp.zeros((0,)), 0.0,
+        16_000.0, n_mics=4, positions=jnp.asarray(RECT),
+    )
+    Y = stft(sc["mixture"], 1024, 512)
+    theta = srp_localize(
+        Y, rfft_freqs(1024, 16_000), 0.0, positions=jnp.asarray(RECT),
+        phat=True,
+    )
+    assert abs(float(theta) - 60.0) < 8.0, float(theta)
