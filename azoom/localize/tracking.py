@@ -42,7 +42,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["viterbi_track", "causal_track", "ema_track"]
+__all__ = [
+    "viterbi_track",
+    "causal_track",
+    "ema_track",
+    "momentum_track",
+    "track_two_sources",
+]
 
 
 def _emissions(
@@ -211,6 +217,158 @@ def causal_track(
         state = jnp.where(move, bp_all[pos, state], state)
         pos = jnp.where(move, pos - 1, pos)
     return angles[state]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "trans_sigma_deg", "rate_deg_per_chunk", "switch_penalty",
+        "fov_width_deg", "floor", "causal", "init_prior_sigma_deg",
+    ),
+)
+def momentum_track(
+    angles: jnp.ndarray,
+    hists: jnp.ndarray,
+    trans_sigma_deg: float = 6.0,
+    rate_deg_per_chunk: float = 8.0,
+    switch_penalty: float = 4.0,
+    fov_center_deg: float | jnp.ndarray | None = None,
+    fov_width_deg: float = 180.0,
+    floor: float = 1e-6,
+    causal: bool = False,
+    init_prior_sigma_deg: float | None = None,
+) -> jnp.ndarray:
+    """Viterbi DOA tracking with a DIRECTION (momentum) state.
+
+    Why it exists (round-4 crossing-trajectory item): with a
+    position-only Gaussian motion model, two talkers whose bearings
+    CROSS are fundamentally ambiguous — the "sail through" path and the
+    "bounce off" (identity-swap) path visit angle sequences of identical
+    per-step cost, so `viterbi_track`/`causal_track` break the tie on
+    emission noise and can swap identities at the crossing. Augmenting
+    each state with a coarse direction d in {-1, 0, +1} restores
+    velocity continuity: continuing in the current direction is cheap,
+    reversing pays `switch_penalty` (in log-prob units per unit
+    direction change), so the MAP path carries the talker THROUGH the
+    crossing instead of bouncing.
+
+    Transition model on states (d, theta):
+      cost = -((theta' - theta - d' * rate) / sigma)^2 / 2
+             - switch_penalty * |d' - d|
+    i.e. direction d' predicts a step of d' * rate_deg_per_chunk
+    degrees per chunk hop, and direction changes are sticky.
+
+    Args mirror viterbi_track/causal_track; `causal=True` runs the
+    forward filtering variant (streaming), `init_prior_sigma_deg`
+    applies the camera aiming prior to chunk 0 (requires
+    fov_center_deg).
+
+    Returns: (C,) tracked azimuth per chunk (degrees).
+    """
+    emis = _emissions(angles, hists, fov_center_deg, fov_width_deg, floor)
+    emis = jnp.broadcast_to(emis, hists.shape)  # (C, A)
+    if init_prior_sigma_deg is not None and fov_center_deg is not None:
+        center0 = jnp.reshape(
+            jnp.asarray(fov_center_deg, jnp.float32), (-1,)
+        )[0]
+        prior0 = -0.5 * ((angles - center0) / init_prior_sigma_deg) ** 2
+        emis = emis.at[0].add(prior0)
+    A = angles.shape[0]
+    dirs = jnp.asarray([-1.0, 0.0, 1.0], jnp.float32)
+    D = 3
+    # (D', A_prev, A_next): step cost under each new direction
+    step = angles[None, :] - angles[:, None]  # (A_prev, A_next)
+    expected = dirs[:, None, None] * rate_deg_per_chunk
+    step_cost = -0.5 * ((step[None] - expected) / trans_sigma_deg) ** 2
+    # (D, D'): direction stickiness
+    switch = -switch_penalty * jnp.abs(dirs[:, None] - dirs[None, :])
+    # trans[(d, a) -> (d', a')] flattened to (D*A, D*A)
+    trans = (
+        switch[:, None, :, None] + step_cost[None, :, :, :].transpose(0, 2, 1, 3)
+    )
+    # indices: [d, a_prev, d', a_next]
+    trans = trans.reshape(D * A, D * A)
+    emis_s = jnp.tile(emis, (1, D))  # (C, D*A) — emissions direction-blind
+
+    def step_fn(score_prev, emis_c):
+        cand = score_prev[:, None] + trans
+        bp = jnp.argmax(cand, axis=0)
+        score = jnp.max(cand, axis=0) + emis_c
+        score = score - jnp.max(score)
+        return score, (score, bp)
+
+    score0 = emis_s[0] - jnp.max(emis_s[0])
+    _, (scores, bps) = jax.lax.scan(step_fn, score0, emis_s[1:])
+    scores = jnp.concatenate([score0[None], scores])  # (C, D*A)
+
+    if causal:
+        return angles[jnp.argmax(scores, axis=-1) % A]
+
+    last = jnp.argmax(scores[-1])
+
+    def back(idx, bp):
+        prev = bp[idx]
+        return prev, idx
+
+    _, path_rev = jax.lax.scan(back, last, bps, reverse=True)
+    path = jnp.concatenate([path_rev, jnp.asarray([last])])
+    return angles[path % A]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "trans_sigma_deg", "rate_deg_per_chunk", "switch_penalty",
+        "fov_width_deg", "floor", "causal", "init_prior_sigma_deg",
+        "exclusion_deg",
+    ),
+)
+def track_two_sources(
+    angles: jnp.ndarray,
+    hists: jnp.ndarray,
+    trans_sigma_deg: float = 6.0,
+    rate_deg_per_chunk: float = 8.0,
+    switch_penalty: float = 4.0,
+    fov_center_deg: float | jnp.ndarray | None = None,
+    fov_width_deg: float = 180.0,
+    floor: float = 1e-6,
+    causal: bool = False,
+    init_prior_sigma_deg: float | None = None,
+    exclusion_deg: float = 10.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-hypothesis tracking: the target track plus a second track.
+
+    Greedy sequential assignment (track-before-detect style): the TARGET
+    path is momentum-tracked first (with the camera aiming prior when
+    given — the user points the camera at the talker at zoom start);
+    its +/- exclusion_deg corridor is then suppressed from the angular
+    spectra and the second source is momentum-tracked on the residual.
+    Both tracks therefore stay coherent through a bearing crossing: the
+    momentum state carries each THROUGH the intersection (see
+    momentum_track), and the exclusion keeps track 2 from collapsing
+    onto track 1.
+
+    Returns: (target_path (C,), other_path (C,)) in degrees.
+    """
+    kw = dict(
+        trans_sigma_deg=trans_sigma_deg,
+        rate_deg_per_chunk=rate_deg_per_chunk,
+        switch_penalty=switch_penalty,
+        fov_width_deg=fov_width_deg,
+        floor=floor,
+        causal=causal,
+    )
+    target = momentum_track(
+        angles, hists, fov_center_deg=fov_center_deg,
+        init_prior_sigma_deg=init_prior_sigma_deg, **kw
+    )
+    # Suppress the target corridor; track the strongest residual source.
+    # (No FOV gate for the second track: the interferer may be outside
+    # the camera's zoom window.)
+    keep = jnp.abs(angles[None, :] - target[:, None]) > exclusion_deg
+    residual = jnp.where(keep, jnp.maximum(hists, 0.0), 0.0)
+    other = momentum_track(angles, residual, fov_center_deg=None, **kw)
+    return target, other
 
 
 @functools.partial(

@@ -112,9 +112,12 @@ def tracked_autosteer_enhance(
         ceil(max(n - win, 0)/hop) + 1 with win = cfg.win_size,
         hop = win // 2).
       tracker: 'viterbi' (offline MAP path), 'causal' (forward-Viterbi
-        filtering — the streaming-compatible choice), or 'ema' (legacy
-        causal point filter; can lock onto a wrong early peak and never
-        recover — see azoom.localize.tracking).
+        filtering — the streaming-compatible choice), 'momentum' /
+        'momentum_causal' (direction-state Viterbi, offline/streaming —
+        REQUIRED when a second talker's bearing may cross the target's:
+        position-only trackers can identity-swap at the crossing), or
+        'ema' (legacy causal point filter; can lock onto a wrong early
+        peak and never recover — see azoom.localize.tracking).
       trans_sigma_deg: tracker motion-model scale, degrees per chunk hop.
       track_lag / init_prior_sigma_deg: 'causal'-tracker knobs (fixed-lag
         smoothing in chunk hops; camera aiming prior on the first chunk
@@ -152,6 +155,23 @@ def tracked_autosteer_enhance(
             angles, hists, trans_sigma_deg=trans_sigma_deg,
             fov_center_deg=fov_center_deg, fov_width_deg=fov_width_deg,
             lag=track_lag, init_prior_sigma_deg=prior,
+        )
+    elif tracker in ("momentum", "momentum_causal"):
+        # Direction-state Viterbi: keeps identity through a bearing
+        # CROSSING with a second moving talker (position-only models are
+        # provably ambiguous there — azoom.localize.tracking
+        # .momentum_track). rate defaults to trans_sigma_deg per hop
+        # (a fast-walk step); the aiming prior anchors chunk 0.
+        from azoom.localize.tracking import momentum_track
+
+        prior = (fov_width_deg / 5.0 if init_prior_sigma_deg is None
+                 else init_prior_sigma_deg)
+        theta = momentum_track(
+            angles, hists, trans_sigma_deg=trans_sigma_deg,
+            rate_deg_per_chunk=trans_sigma_deg,
+            fov_center_deg=fov_center_deg, fov_width_deg=fov_width_deg,
+            causal=(tracker == "momentum_causal"),
+            init_prior_sigma_deg=prior,
         )
     elif tracker == "ema":
         theta = ema_track(

@@ -96,6 +96,102 @@ def test_viterbi_rejects_distractor_mode():
     assert np.max(np.abs(path - true)) < 6.0, path
 
 
+def _crossing_trellis(amp_other=1.4, C=13):
+    """Two glides whose bearings CROSS at 90 deg: target 60 -> 120, a
+    LOUDER distractor 120 -> 60. Returns (angles, hists, tgt, oth)."""
+    angles = np.linspace(0.0, 180.0, 181)
+    tgt = np.linspace(60.0, 120.0, C)
+    oth = np.linspace(120.0, 60.0, C)
+    hists = np.zeros((C, 181), np.float32)
+    for c in range(C):
+        hists[c] += np.exp(-0.5 * ((angles - tgt[c]) / 4.0) ** 2)
+        hists[c] += amp_other * np.exp(-0.5 * ((angles - oth[c]) / 4.0) ** 2)
+    return jnp.asarray(angles), jnp.asarray(hists), tgt, oth
+
+
+def test_position_only_tracker_swaps_identity_at_crossing():
+    """The measured limitation (round-4 VERDICT item 6): with a
+    position-only motion model, the sail-through and identity-swap paths
+    cost the same, so a louder crossing distractor captures the track."""
+    from azoom.localize.tracking import momentum_track
+
+    angles, hists, tgt, oth = _crossing_trellis()
+    v = np.asarray(viterbi_track(angles, hists, trans_sigma_deg=8.0,
+                                 fov_center_deg=60.0, fov_width_deg=180.0))
+    # position-only MAP follows the louder glide after the crossing
+    assert np.abs(v[-1] - tgt[-1]) > 30.0, v
+    # momentum (direction-state) tracking sails through it
+    m = np.asarray(momentum_track(
+        angles, hists, rate_deg_per_chunk=5.0,
+        fov_center_deg=60.0, fov_width_deg=180.0,
+        init_prior_sigma_deg=10.0,
+    ))
+    assert np.max(np.abs(m - tgt)) < 8.0, m
+
+
+def test_momentum_track_causal_follows_crossing():
+    """The streaming variant (forward filtering on the direction-state
+    trellis) also keeps identity through the crossing."""
+    from azoom.localize.tracking import momentum_track
+
+    angles, hists, tgt, _ = _crossing_trellis()
+    mc = np.asarray(momentum_track(
+        angles, hists, rate_deg_per_chunk=5.0, causal=True,
+        fov_center_deg=60.0, fov_width_deg=180.0,
+        init_prior_sigma_deg=10.0,
+    ))
+    assert np.max(np.abs(mc - tgt)) < 8.0, mc
+
+
+def test_track_two_sources_resolves_both_crossing_paths():
+    from azoom.localize.tracking import track_two_sources
+
+    angles, hists, tgt, oth = _crossing_trellis()
+    t2, o2 = track_two_sources(
+        angles, hists, rate_deg_per_chunk=5.0,
+        fov_center_deg=60.0, fov_width_deg=180.0,
+        init_prior_sigma_deg=10.0,
+    )
+    assert np.max(np.abs(np.asarray(t2) - tgt)) < 8.0
+    # the second track follows the other glide (looser: the exclusion
+    # corridor distorts it near the crossing)
+    assert np.abs(np.asarray(o2)[-1] - oth[-1]) < 8.0
+    assert np.abs(np.asarray(o2)[0] - oth[0]) < 8.0
+
+
+def test_momentum_matches_viterbi_on_noncrossing_glide():
+    """No regression where position-only tracking already works: a single
+    glide against a static distractor."""
+    from azoom.localize.tracking import momentum_track
+
+    true = np.linspace(60.0, 110.0, 12)
+    angles, hists = _synthetic_trellis(true, distract_at=160.0)
+    m = np.asarray(momentum_track(angles, hists, rate_deg_per_chunk=5.0))
+    assert np.max(np.abs(m - true)) < 8.0, m
+
+
+def test_tracked_pipeline_momentum_tracker_runs():
+    """tracker='momentum'/'momentum_causal' wire through the tracked
+    zoom pipeline end to end (heuristic mask path, short scene)."""
+    sigs = speech_like_batch(jax.random.PRNGKey(5), 2, 96_000, CFG.fs)
+    B = traj_block_count(96_000, 2048)
+    sc = make_moving_scene(
+        sigs[0], sigs[1:2], linear_trajectory(70.0, 110.0, B),
+        linear_trajectory(110.0, 70.0, B)[None, :],  # crossing interferer
+        CFG.mic_dist, CFG.fs,
+    )
+    for tracker in ("momentum", "momentum_causal"):
+        out, theta = tracked_autosteer_enhance(
+            sc["mixture"], CFG, 70.0, 120.0, tracker=tracker,
+            trans_sigma_deg=8.0,
+        )
+        assert out.shape == (96_000,)
+        assert np.all(np.isfinite(np.asarray(out)))
+        # ends near the target's final bearing, not the crossing
+        # interferer's
+        assert abs(float(theta[-1]) - 110.0) < 25.0, np.asarray(theta)
+
+
 def test_causal_track_filters_and_recovers_from_wrong_first_peak():
     """Forward-Viterbi filtering: follows the glide causally, and — unlike
     the EMA point filter — recovers when the FIRST chunk's peak is a
