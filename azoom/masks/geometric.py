@@ -72,6 +72,7 @@ def fov_noise_gate(
     fs: int,
     c: float = 343.0,
     softness_deg: float = 10.0,
+    positions: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Visual-guided covariance gate (reference roadmap TODO:12).
 
@@ -98,8 +99,27 @@ def fov_noise_gate(
     """
     from azoom.masks.duet import bin_doa
 
-    theta, valid = bin_doa(Y, mic_dist, fs, c)
-    dev = jnp.abs(theta - center_deg)
+    if positions is not None:
+        # Arbitrary geometry (round 4): the per-bin IPD of the first mic
+        # pair measures the angle psi between the DOA and the PAIR
+        # BASELINE (length |dp|, orientation phi in the steering plane),
+        # not the azimuth itself: cos(theta - phi) = cos(psi). Score the
+        # FOV against the CLOSER of the two candidates theta = phi +/-
+        # psi — the camera look direction resolves the pair's intrinsic
+        # front-back ambiguity.
+        from azoom.dsp.delays import positions_2d
+
+        p = positions_2d(2, mic_dist, positions)
+        dp = p[0] - p[1]
+        eff_dist = jnp.sqrt(jnp.sum(dp**2)) + 1e-9
+        phi = jnp.rad2deg(jnp.arctan2(dp[1], dp[0]))
+        psi, valid = bin_doa(Y[..., :2, :, :], eff_dist, fs, c)
+        dev = jnp.minimum(
+            jnp.abs(phi + psi - center_deg), jnp.abs(phi - psi - center_deg)
+        )
+    else:
+        theta, valid = bin_doa(Y, mic_dist, fs, c)
+        dev = jnp.abs(theta - center_deg)
     gate = jax.nn.sigmoid((dev - 0.5 * fov_deg) / softness_deg)
     cone = jnp.minimum(0.5 * fov_deg, 15.0)
     protect = jax.nn.sigmoid((cone - dev) / softness_deg)

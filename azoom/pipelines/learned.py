@@ -179,7 +179,8 @@ def learned_enhance(
         from azoom.masks.geometric import apply_fov_gate, fov_noise_gate
 
         gate, protect, valid = fov_noise_gate(
-            Y, steer, fov_deg, cfg.mic_dist, cfg.fs, cfg.c
+            Y, steer, fov_deg, cfg.mic_dist, cfg.fs, cfg.c,
+            positions=cfg.geometry(),
         )
         noise_mask = apply_fov_gate(noise_mask, gate, protect, valid)
     freqs = rfft_freqs(cfg.n_fft, cfg.fs)

@@ -77,6 +77,17 @@ class AudioZoom:
       native: allow the C++ stream runtime for push() buffering (built
         on first use if a toolchain is present — a one-time ~2 s `make`;
         set False to pin the pure-NumPy path).
+      pipelined: double-buffered streaming serve (round 4): push()
+        DISPATCHES window N to the device asynchronously and retrieves
+        window N-1's already-finished result, so per-push wall time is
+        host prep + D2H transfer instead of the full dispatch + compute
+        round trip — the tunnel-dispatch latency rides under the 1 s of
+        real time between window arrivals. Costs one extra hop of
+        output latency (on top of the OLA hop) and weakens the
+        transactional guarantee: a rare device-side failure surfaces
+        one window late, losing that window's hop. Uses the NumPy
+        buffering path (the native engine's peek/commit contract is
+        strictly in-order). High-latency mode only.
       dsp_precision: 'exact' (default) or 'fast' — 'fast' runs the TPU
         matmul-DFT STFT/iSTFT single-pass bf16 (the benchmarked serving
         configuration: 1.32x the step at a ~-54 dB error floor, measured
@@ -100,6 +111,7 @@ class AudioZoom:
     track: bool = False
     latency: str = "high"
     native: bool = True
+    pipelined: bool = False
     dsp_precision: str = "exact"
     harmonic_regen: bool = False
 
@@ -312,11 +324,16 @@ class AudioZoom:
         # enhancement itself stays on device.
         from azoom.stream.native import NativeStream, native_available
 
+        # pipelined mode defers retrieval by one window, which the native
+        # engine's strictly-in-order peek/commit contract cannot express
+        # — pin the NumPy buffering path there.
         self._native = (
             NativeStream(self.cfg.n_mics, self._win)
-            if self.native and native_available() else None
+            if self.native and native_available() and not self.pipelined
+            else None
         )
         self._inbuf = np.zeros((self.cfg.n_mics, 0), np.float32)
+        self._pipe_pending = None  # device result of the last window
         self._tail = np.zeros(self._hop, np.float32)
         self._started = False
         # Finalized hops not yet handed to the caller: lives on the object
@@ -387,13 +404,36 @@ class AudioZoom:
             self._inbuf = np.concatenate([self._inbuf, samples], axis=1)
             while self._inbuf.shape[1] >= self._win:
                 window = self._inbuf[:, : self._win]
-                enhanced = to_numpy(self._enhance_window(jnp.asarray(window)))
-                weighted = enhanced * self._window
-                head = weighted[: self._hop]
-                if self._started:
-                    out.append((self._tail + head) / self._ola_norm)
-                self._tail = weighted[self._hop :]
-                self._started = True
-                self._inbuf = self._inbuf[:, self._hop :]
+                dev = self._enhance_window(jnp.asarray(window))
+                if self.pipelined:
+                    # Double-buffered: dispatch window N (async — jax
+                    # returns immediately), retrieve window N-1 whose
+                    # compute overlapped the last inter-push interval.
+                    dev, self._pipe_pending = self._pipe_pending, dev
+                    self._inbuf = self._inbuf[:, self._hop :]
+                    if dev is None:
+                        continue
+                    self._ola_finalize(to_numpy(dev), out)
+                else:
+                    self._ola_finalize(to_numpy(dev), out)
+                    self._inbuf = self._inbuf[:, self._hop :]
         self._out_pending = []
+        return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+    def _ola_finalize(self, enhanced: np.ndarray, out: list) -> None:
+        weighted = enhanced * self._window
+        head = weighted[: self._hop]
+        if self._started:
+            out.append((self._tail + head) / self._ola_norm)
+        self._tail = weighted[self._hop :]
+        self._started = True
+
+    def flush(self) -> np.ndarray:
+        """Drain the pipeline (pipelined mode): retrieve and finalize the
+        in-flight window. A no-op (empty return) otherwise."""
+        if getattr(self, "_pipe_pending", None) is None:
+            return np.zeros(0, np.float32)
+        out: list[np.ndarray] = []
+        dev, self._pipe_pending = self._pipe_pending, None
+        self._ola_finalize(to_numpy(dev), out)
         return np.concatenate(out) if out else np.zeros(0, np.float32)

@@ -1,0 +1,109 @@
+"""Dispatch-inclusive live-serving latency (round-4 VERDICT item 3).
+
+The 18,006x headline is batch-128 THROUGHPUT with in-jit iteration; the
+online path's 27 us/frame is compute-only. This script measures what a
+live caller actually waits: wall-clock per AudioZoom.push() through the
+real TPU path, dispatch + compute + device-to-host transfer included —
+the number the reference instruments per chunk
+(resnet_model_mvdr/inference.py:270-274, tf_lite inference.py:387).
+
+Modes measured (service time per push after a 3-push warmup):
+  chunked        nano int8, 2 s windows / 1 s hop, one 1 s block per
+                 push -> p50/p99 of the pushes that process a window
+  chunked+pipe   the same with pipelined=True (double-buffered: push N
+                 retrieves window N-1; the dispatch round trip rides
+                 under the 1 s real-time arrival interval)
+  low-latency    crn_causal, one 32 ms hop per push -> p50/p99
+  soak           60 s of chunked+pipe streaming: sustained real-time
+                 margin = audio seconds / wall seconds, and the max
+                 service time (jitter bound)
+
+A mode sustains real time iff p99 service time < its push interval
+(1 s chunked, 32 ms low-latency).
+
+Run: timeout 900 python scripts/live_latency.py
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import azoom  # noqa: F401
+from azoom import AudioZoom, PipelineConfig
+
+CFG = PipelineConfig(mic_dist=0.04)
+FS = CFG.fs
+
+
+def _stream(n_sec, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_sec * FS) / FS
+    x = (np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+         + 0.3 * rng.standard_normal(n_sec * FS)).astype(np.float32)
+    return np.stack([x, np.roll(x, 2)])
+
+
+def measure(az, block, n_pushes, warmup=3, label=""):
+    x = _stream((block * (n_pushes + warmup)) // FS + 2, seed=1)
+    times, produced = [], 0
+    for i in range(n_pushes + warmup):
+        seg = x[:, i * block : (i + 1) * block]
+        t0 = time.perf_counter()
+        out = az.push(seg)
+        dt = time.perf_counter() - t0
+        produced += out.size
+        if i >= warmup and out.size:
+            times.append(dt)
+    times = np.asarray(times) * 1e3
+    p50, p99 = np.percentile(times, 50), np.percentile(times, 99)
+    mx = times.max()
+    interval_ms = block / FS * 1e3
+    ok = "sustains" if p99 < interval_ms else "MISSES"
+    print(f"{label:14s} p50 {p50:8.2f} ms  p99 {p99:8.2f} ms  "
+          f"max {mx:8.2f} ms  interval {interval_ms:.0f} ms -> {ok} "
+          f"real time ({len(times)} serviced pushes)", flush=True)
+    return p50, p99
+
+
+def main():
+    one_sec = FS
+
+    az = AudioZoom(cfg=CFG, model="tpufpu_nano", int8=True,
+                   dsp_precision="fast")
+    measure(az, one_sec, 20, label="chunked")
+
+    azp = AudioZoom(cfg=CFG, model="tpufpu_nano", int8=True,
+                    dsp_precision="fast", pipelined=True)
+    measure(azp, one_sec, 20, label="chunked+pipe")
+
+    azl = AudioZoom(cfg=CFG, latency="low")
+    hop = azl._online.cfg.hop if hasattr(azl._online.cfg, "hop") else 512
+    measure(azl, hop, 100, warmup=10, label="low-latency")
+
+    # soak: 60 s of continuous pipelined streaming
+    azs = AudioZoom(cfg=CFG, model="tpufpu_nano", int8=True,
+                    dsp_precision="fast", pipelined=True)
+    x = _stream(62, seed=2)
+    azs.push(x[:, : 3 * one_sec])  # warm the compile
+    t0 = time.perf_counter()
+    worst = 0.0
+    n_out = 0
+    for i in range(3, 62):
+        t1 = time.perf_counter()
+        out = azs.push(x[:, i * one_sec : (i + 1) * one_sec])
+        worst = max(worst, time.perf_counter() - t1)
+        n_out += out.size
+    n_out += azs.flush().size
+    wall = time.perf_counter() - t0
+    audio = 59.0
+    print(f"{'soak 60s':14s} {audio:.0f} s audio in {wall:.2f} s wall -> "
+          f"{audio / wall:7.1f}x sustained real-time margin; worst push "
+          f"{worst * 1e3:.1f} ms; {n_out / FS:.1f} s finalized", flush=True)
+
+
+if __name__ == "__main__":
+    main()

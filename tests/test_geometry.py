@@ -146,6 +146,35 @@ def test_oracle_sweep_rectangle_beats_mismatched_steering():
     assert float(np.asarray(r_true["sir_out"])[0]) > float(sir_wrong) + 3.0
 
 
+def test_fov_gate_on_explicit_pair_geometry():
+    """The FOV covariance gate scores bin DOAs against the first pair's
+    TRUE baseline (length + orientation) under an explicit geometry: an
+    in-FOV source stays mostly protected/ungated, an out-of-FOV source
+    gates high."""
+    from azoom.dsp.stft import stft
+    from azoom.masks.geometric import fov_noise_gate
+    from azoom.sim.farfield import make_scene
+    from azoom.sim.signals import speech_like
+
+    pos = jnp.asarray(RECT)
+    tgt = speech_like(jax.random.PRNGKey(1), 16_000, 16_000)
+    for angle, expect_out in ((90.0, False), (20.0, True)):
+        sc = make_scene(
+            tgt, jnp.zeros((0, 16_000)), angle, jnp.zeros((0,)), 0.0,
+            16_000.0, n_mics=4, positions=pos,
+        )
+        Y = stft(sc["mixture"], 1024, 512)
+        gate, protect, valid = fov_noise_gate(
+            Y, 90.0, 40.0, 0.0, 16_000, positions=pos
+        )
+        v = np.asarray(valid) > 0
+        mean_gate = float(np.asarray(gate)[v].mean())
+        if expect_out:
+            assert mean_gate > 0.5, mean_gate
+        else:
+            assert mean_gate < 0.35, mean_gate
+
+
 def test_srp_localizes_on_rectangle():
     """SRP with true positions finds a 60-degree source on the
     rectangle-synthesized scene."""

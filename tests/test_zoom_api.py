@@ -64,6 +64,55 @@ def test_streaming_passthrough_reconstruction(rng):
     np.testing.assert_allclose(out[:k], out2[:k], atol=1e-5)
 
 
+def test_pipelined_stream_matches_direct(rng):
+    """pipelined=True (double-buffered serve, round 4) must produce the
+    SAME samples as the direct path — one window later, with flush()
+    draining the in-flight window at stream end."""
+    n = 120_000
+    x = rng.standard_normal((2, n)).astype(np.float32) * 0.3
+
+    def run(pipelined, block):
+        z = AudioZoom(cfg=CFG, enhance_fn=lambda w: w[0],
+                      pipelined=pipelined)
+        outs = []
+        for i in range(0, n, block):
+            outs.append(z.push(x[:, i : i + block]))
+        outs.append(z.flush())
+        return np.concatenate(outs)
+
+    direct = run(False, 16_000)
+    piped = run(True, 16_000)
+    # pipelining defers by one window but flush() drains it: same stream
+    k = min(len(direct), len(piped))
+    assert k >= n - 3 * CFG.win_size
+    np.testing.assert_allclose(piped[:k], direct[:k], atol=1e-5)
+    # block-size invariance holds in pipelined mode too
+    piped2 = run(True, 7_000)
+    k = min(len(piped), len(piped2))
+    np.testing.assert_allclose(piped[:k], piped2[:k], atol=1e-5)
+
+
+def test_pipelined_push_defers_one_window(rng):
+    """The first window's output appears one push later than direct mode
+    (the pipeline fill), then the stream runs continuously."""
+    x = rng.standard_normal((2, 96_000)).astype(np.float32) * 0.3
+    zd = AudioZoom(cfg=CFG, enhance_fn=lambda w: w[0])
+    zp = AudioZoom(cfg=CFG, enhance_fn=lambda w: w[0], pipelined=True)
+    win = CFG.win_size
+    # push exactly one window: direct emits nothing yet (OLA warmup),
+    # pipelined also nothing (window in flight)
+    assert zd.push(x[:, :win]).size == 0
+    assert zp.push(x[:, :win]).size == 0
+    # second window: direct emits its first hop; pipelined still drains
+    # window 1 only now -> also zero, then catches up
+    d2 = zd.push(x[:, win : win + win // 2])
+    p2 = zp.push(x[:, win : win + win // 2])
+    assert d2.size > 0 and p2.size == 0
+    p3 = zp.push(x[:, win + win // 2 : 2 * win])
+    assert p3.size > 0
+    np.testing.assert_allclose(p3[: d2.size], d2, atol=1e-6)
+
+
 def test_zoom_api_with_bundled_model():
     """model= routes the facade through a bundled learned mask net."""
     import jax
