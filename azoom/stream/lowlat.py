@@ -181,9 +181,18 @@ class OnlineEnhancer:
             )
             # Frame 0 finalizes only the synthetic lead padding — drop it.
             if self._frames > 0:
-                outs.append(to_numpy(out))
+                outs.append(out)
             self._frames += 1
-        return np.concatenate(outs) if outs else np.zeros(0, np.float32)
+        if not outs:
+            return np.zeros(0, np.float32)
+        # ONE device fetch per push, however many hops it contained: on a
+        # remote-tunnel deployment each fetch pays a ~30 ms round trip
+        # regardless of size (measured round 4), so fetching per hop made
+        # a K-hop push cost K round trips. Dispatches above are async;
+        # only this fetch blocks.
+        if len(outs) == 1:
+            return to_numpy(outs[0])
+        return to_numpy(jnp.concatenate(outs))
 
     def flush(self) -> np.ndarray:
         """Finalize buffered input by zero-padding one window; returns the

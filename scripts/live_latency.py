@@ -47,23 +47,35 @@ def _stream(n_sec, seed=0):
     return np.stack([x, np.roll(x, 2)])
 
 
-def measure(az, block, n_pushes, warmup=3, label=""):
+def measure(az, block, n_pushes, warmup=3, label="", paced=False):
+    """Service time per push. ``paced=True`` simulates LIVE arrival: each
+    push happens at its real-time deadline (audio arrives at 1x), so an
+    async in-flight window from the previous push has had the full
+    inter-arrival interval to complete — the regime pipelined mode is
+    built for. Unpaced = back-to-back (batch drain, a worst case)."""
     x = _stream((block * (n_pushes + warmup)) // FS + 2, seed=1)
-    times, produced = [], 0
+    interval = block / FS
+    times = []
+    start = time.perf_counter()
     for i in range(n_pushes + warmup):
+        if paced:
+            deadline = start + i * interval
+            now = time.perf_counter()
+            if deadline > now:
+                time.sleep(deadline - now)
         seg = x[:, i * block : (i + 1) * block]
         t0 = time.perf_counter()
         out = az.push(seg)
         dt = time.perf_counter() - t0
-        produced += out.size
         if i >= warmup and out.size:
             times.append(dt)
     times = np.asarray(times) * 1e3
     p50, p99 = np.percentile(times, 50), np.percentile(times, 99)
     mx = times.max()
-    interval_ms = block / FS * 1e3
+    interval_ms = interval * 1e3
     ok = "sustains" if p99 < interval_ms else "MISSES"
-    print(f"{label:14s} p50 {p50:8.2f} ms  p99 {p99:8.2f} ms  "
+    pace = "paced " if paced else "drain "
+    print(f"{label:16s} {pace}p50 {p50:8.2f} ms  p99 {p99:8.2f} ms  "
           f"max {mx:8.2f} ms  interval {interval_ms:.0f} ms -> {ok} "
           f"real time ({len(times)} serviced pushes)", flush=True)
     return p50, p99
@@ -79,10 +91,17 @@ def main():
     azp = AudioZoom(cfg=CFG, model="tpufpu_nano", int8=True,
                     dsp_precision="fast", pipelined=True)
     measure(azp, one_sec, 20, label="chunked+pipe")
+    azp2 = AudioZoom(cfg=CFG, model="tpufpu_nano", int8=True,
+                     dsp_precision="fast", pipelined=True)
+    measure(azp2, one_sec, 20, label="chunked+pipe", paced=True)
 
     azl = AudioZoom(cfg=CFG, latency="low")
     hop = azl._online.cfg.hop if hasattr(azl._online.cfg, "hop") else 512
-    measure(azl, hop, 100, warmup=10, label="low-latency")
+    measure(azl, hop, 100, warmup=10, label="low-lat 1hop")
+    # 2 hops per push: one ~30 ms tunnel D2H round trip (the measured
+    # per-fetch floor on this deployment) amortized over 64 ms of audio
+    azl2 = AudioZoom(cfg=CFG, latency="low")
+    measure(azl2, 2 * hop, 60, warmup=5, label="low-lat 2hop")
 
     # soak: 60 s of continuous pipelined streaming
     azs = AudioZoom(cfg=CFG, model="tpufpu_nano", int8=True,
