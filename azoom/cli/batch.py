@@ -155,12 +155,22 @@ def _load_sweep_model(args, cfg):
     name = args.model
     if name == "fpu" and not args.no_reverb:
         name = "fpu_reverb"
+    # Explicit geometry: adaptation keys on the FIRST pair's effective
+    # baseline (the features' IPD source under mic_positions).
+    d_eff = cfg.mic_dist
+    if cfg.mic_positions is not None:
+        import numpy as _np
+
+        p = _np.asarray(cfg.mic_positions, _np.float64)
+        if p.ndim == 1:
+            p = p[:, None]
+        d_eff = float(_np.linalg.norm(p[0][:2] - p[1][:2]))
     geo = (
         None if getattr(args, "no_geo_adapt", False)
-        else geo_adapt_dist(name, cfg.mic_dist)
+        else geo_adapt_dist(name, d_eff)
     )
     tag = " (int8-MXU serving)" if quant else ""
-    tag += f" (geometry-adapted to {cfg.mic_dist*100:.0f} cm)" if geo else ""
+    tag += f" (geometry-adapted to {d_eff*100:.1f} cm)" if geo else ""
     print(f"[BATCH] using bundled {name} artifact{tag}")
     model, variables, feature_kind = load_bundled(name, quant=quant)
     return model, variables, feature_kind, geo

@@ -33,7 +33,8 @@ _EPS = 1e-7
 
 
 def logmag_ipd_features(
-    Y: jnp.ndarray, ipd_scale: float | jnp.ndarray = 1.0
+    Y: jnp.ndarray, ipd_scale: float | jnp.ndarray = 1.0,
+    pair_mode: str = "mean",
 ) -> jnp.ndarray:
     """STFT (..., M, F, T) -> features (..., F, T, 2):
     [log|Y0|, IPD * ipd_scale].
@@ -60,17 +61,33 @@ def logmag_ipd_features(
     if Y.shape[-3] == 2 and unit_scale:
         ipd = jnp.angle(Y[..., 0, :, :]) - jnp.angle(Y[..., 1, :, :])
     else:
-        cross = jnp.mean(
-            Y[..., :-1, :, :] * jnp.conj(Y[..., 1:, :, :]), axis=-3
-        )
+        cross = _cross_spectrum(Y, pair_mode)
         ipd = jnp.angle(cross + 1e-20)
         if not unit_scale:
             ipd = jnp.mod(ipd * ipd_scale + jnp.pi, 2.0 * jnp.pi) - jnp.pi
     return jnp.stack([logmag, ipd], axis=-1)
 
 
+def _cross_spectrum(Y: jnp.ndarray, pair_mode: str) -> jnp.ndarray:
+    """IPD cross-spectrum. ``pair_mode``:
+      'mean'  — coherent average over all adjacent pairs. Correct ONLY
+        for uniform linear arrays (adjacent pairs share the baseline, so
+        they measure the same IPD plus independent noise).
+      'first' — the first mic pair alone. REQUIRED for explicit
+        (non-uniform) geometries: heterogeneous baselines measure
+        different phases and averaging them corrupts the cue (measured
+        -3.3 dB mean on the round-4 rectangle campaign before this
+        mode existed)."""
+    if pair_mode == "first":
+        return Y[..., 0, :, :] * jnp.conj(Y[..., 1, :, :])
+    if pair_mode != "mean":
+        raise ValueError(f"pair_mode must be 'mean' or 'first', got {pair_mode!r}")
+    return jnp.mean(Y[..., :-1, :, :] * jnp.conj(Y[..., 1:, :, :]), axis=-3)
+
+
 def physics_aware_features(
-    Y: jnp.ndarray, ipd_scale: float | jnp.ndarray = 1.0
+    Y: jnp.ndarray, ipd_scale: float | jnp.ndarray = 1.0,
+    pair_mode: str = "mean",
 ) -> jnp.ndarray:
     """STFT (..., M, F, T) -> features (..., F, T, 4):
     [log|Y0|, sin(ipd_scale*IPD), cos(ipd_scale*IPD), freq_map].
@@ -83,7 +100,7 @@ def physics_aware_features(
     2-mic-trained artifacts see a cleaner version of exactly the cue
     distribution they were trained on."""
     logmag = jnp.log(jnp.abs(Y[..., 0, :, :]) + _EPS)
-    cross = jnp.mean(Y[..., :-1, :, :] * jnp.conj(Y[..., 1:, :, :]), axis=-3)
+    cross = _cross_spectrum(Y, pair_mode)
     if isinstance(ipd_scale, (int, float)) and float(ipd_scale) == 1.0:
         # sin/cos of IPD without computing angles: Y0 * conj(Y1) has
         # phase = IPD (cheaper: no arctan on the hot path).

@@ -45,18 +45,20 @@ def predict_mask(
     feature_kind: str = "logmag_ipd",
     pad_multiple: int = 16,
     ipd_scale: float | jnp.ndarray = 1.0,
+    pair_mode: str = "mean",
 ) -> jnp.ndarray:
     """STFT (..., M, F, T) -> target mask (..., F, T) via the mask net.
 
     Handles feature extraction, time padding to the U-Net pool factor, a
     batch axis if the input is unbatched, and cropping back. ``ipd_scale``
-    rescales phase cues to the net's training geometry (see
-    azoom.masks.features).
+    rescales phase cues to the net's training geometry; ``pair_mode``
+    selects the IPD cross-spectrum pairing ('first' for non-uniform
+    explicit geometries — see azoom.masks.features).
     """
     feats = (
-        logmag_ipd_features(Y, ipd_scale)
+        logmag_ipd_features(Y, ipd_scale, pair_mode=pair_mode)
         if feature_kind == "logmag_ipd"
-        else physics_aware_features(Y, ipd_scale)
+        else physics_aware_features(Y, ipd_scale, pair_mode=pair_mode)
     )
     unbatched = feats.ndim == 3
     if unbatched:
@@ -150,16 +152,33 @@ def learned_enhance(
     n = mixture.shape[-1]
     length = n if length is None else length
     steer = cfg.angle_target_deg if steer_deg is None else steer_deg
-    ipd_scale = (
-        1.0 if train_mic_dist is None else train_mic_dist / cfg.mic_dist
-    )
+    # Explicit (possibly non-uniform) geometry: the nets were trained on
+    # a uniform linear pair, so (a) IPD features must come from the FIRST
+    # pair only — averaging heterogeneous baselines corrupts the cue
+    # (features._cross_spectrum) — (b) geometry adaptation rescales by
+    # the first pair's EFFECTIVE baseline length, and (c) steer-align
+    # must not take the linear broadside shortcut: rotating by the true
+    # positions' steering vector is what zeroes the target's first-pair
+    # IPD into the broadside training distribution.
+    pair_mode = "mean"
+    d_feat = cfg.mic_dist
+    if cfg.mic_positions is not None:
+        pair_mode = "first"
+        # static config tuple -> plain Python math (trace-time constant)
+        p0 = cfg.mic_positions[0] + (0.0, 0.0)
+        p1 = cfg.mic_positions[1] + (0.0, 0.0)
+        d_feat = ((p0[0] - p1[0]) ** 2 + (p0[1] - p1[1]) ** 2) ** 0.5
+    ipd_scale = 1.0 if train_mic_dist is None else train_mic_dist / d_feat
 
     Y = stft(mixture, cfg.n_fft, cfg.hop, precision=dsp_precision)
     Y_feat = Y
     # Alignment at broadside is a no-op by design; when the steer is a
     # static 90.0 (the default cfg / sweeps), skip the rotation entirely
-    # rather than multiply by a cos(90 deg)-noise unit phasor.
-    if isinstance(steer, (int, float)) and float(steer) == 90.0:
+    # rather than multiply by a cos(90 deg)-noise unit phasor. (Linear
+    # arrays only: an explicit geometry's y-offsets make broadside a
+    # real rotation.)
+    if (isinstance(steer, (int, float)) and float(steer) == 90.0
+            and cfg.mic_positions is None):
         steer_align = False
     if steer_align:
         freqs_al = rfft_freqs(cfg.n_fft, cfg.fs)
@@ -172,7 +191,8 @@ def learned_enhance(
         # magnitudes — hence logmag — are untouched.
         Y_feat = Y * jnp.conj(d_al).swapaxes(-1, -2)[..., None]
     tgt_mask = predict_mask(
-        model, variables, Y_feat, feature_kind, ipd_scale=ipd_scale
+        model, variables, Y_feat, feature_kind, ipd_scale=ipd_scale,
+        pair_mode=pair_mode,
     )
     noise_mask = 1.0 - tgt_mask
     if fov_deg is not None:
