@@ -229,9 +229,9 @@ def causal_track(
 def momentum_track(
     angles: jnp.ndarray,
     hists: jnp.ndarray,
-    trans_sigma_deg: float = 6.0,
-    rate_deg_per_chunk: float = 8.0,
-    switch_penalty: float = 4.0,
+    trans_sigma_deg: float = 3.0,
+    rate_deg_per_chunk: float = 6.0,
+    switch_penalty: float = 12.0,
     fov_center_deg: float | jnp.ndarray | None = None,
     fov_width_deg: float = 180.0,
     floor: float = 1e-6,
@@ -257,6 +257,18 @@ def momentum_track(
              - switch_penalty * |d' - d|
     i.e. direction d' predicts a step of d' * rate_deg_per_chunk
     degrees per chunk hop, and direction changes are sticky.
+
+    Tuning (round-4 crossing study, real audio): identity retention
+    needs the regime sigma ~ rate / 2 (a loose sigma lets the +1 state
+    follow the DESCENDING distractor ridge cheaply), switch_penalty >=
+    ~12 (the post-crossing emission gap to a louder distractor is
+    ~1 nat/chunk — the one-time reversal cost must beat its
+    accumulation), and a TIGHT first-chunk aiming prior (sigma ~ 8 deg:
+    the camera is ON the talker at zoom start; the FOV/5 static default
+    is too weak against a louder distractor inside the FOV). With
+    sigma=3 / rate=5.5 / switch=12 / prior=8 all three crossing scenes
+    track through the intersection offline AND causally (max ~7 deg
+    error) where every position-only tracker swapped.
 
     Args mirror viterbi_track/causal_track; `causal=True` runs the
     forward filtering variant (streaming), `init_prior_sigma_deg`
@@ -326,9 +338,9 @@ def momentum_track(
 def track_two_sources(
     angles: jnp.ndarray,
     hists: jnp.ndarray,
-    trans_sigma_deg: float = 6.0,
-    rate_deg_per_chunk: float = 8.0,
-    switch_penalty: float = 4.0,
+    trans_sigma_deg: float = 3.0,
+    rate_deg_per_chunk: float = 6.0,
+    switch_penalty: float = 12.0,
     fov_center_deg: float | jnp.ndarray | None = None,
     fov_width_deg: float = 180.0,
     floor: float = 1e-6,

@@ -164,11 +164,17 @@ def tracked_autosteer_enhance(
         # (a fast-walk step); the aiming prior anchors chunk 0.
         from azoom.localize.tracking import momentum_track
 
-        prior = (fov_width_deg / 5.0 if init_prior_sigma_deg is None
+        # Tuned regime (momentum_track docstring): rate just under the
+        # admitted per-hop walk speed, sigma ~ rate/2, sticky direction,
+        # and a TIGHT aiming prior — the camera is on the talker at zoom
+        # start, and a loose prior loses to a louder crossing distractor.
+        prior = (8.0 if init_prior_sigma_deg is None
                  else init_prior_sigma_deg)
         theta = momentum_track(
-            angles, hists, trans_sigma_deg=trans_sigma_deg,
-            rate_deg_per_chunk=trans_sigma_deg,
+            angles, hists,
+            trans_sigma_deg=max(0.4 * trans_sigma_deg, 2.0),
+            rate_deg_per_chunk=0.7 * trans_sigma_deg,
+            switch_penalty=12.0,
             fov_center_deg=fov_center_deg, fov_width_deg=fov_width_deg,
             causal=(tracker == "momentum_causal"),
             init_prior_sigma_deg=prior,

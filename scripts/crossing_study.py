@@ -46,7 +46,7 @@ from azoom.sim.signals import speech_like_batch
 
 CFG = PipelineConfig(mic_dist=0.04)
 N = 192_000  # 12 s
-FOV_C, FOV_W = 70.0, 120.0  # camera aimed at the target's start bearing
+FOV_C, FOV_W = 60.0, 120.0  # camera ON the talker at zoom start
 
 
 def main():
