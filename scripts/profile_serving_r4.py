@@ -44,15 +44,28 @@ variables = calibrate_act_scales(
                  cfg.win_size)["features"] for i in range(1, 3)))
 
 
-def timed(name, fn, *args):
-    loop = jax.jit(lambda c0, *a: jax.lax.fori_loop(
-        0, ITERS, lambda i, c: fn(c, *a), c0))
-    c0 = args[0]
-    r = loop(c0, *args[1:])
-    float(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(r)[0])))
+def timed(name, fn, B, *args):
+    """fn(carry (B,), *args) -> stage output; the loop reduces the output
+    back into a (B,) carry so iterations serialize and nothing DCEs.
+    args are passed as jit ARGUMENTS (axon cannot constant-fold complex
+    device arrays through the mlir handler)."""
+
+    def loop(c0, *a):
+        def body(i, c):
+            out = fn(c, *a)
+            out = jax.tree_util.tree_leaves(out)[0]
+            red = jnp.mean(jnp.abs(out).astype(jnp.float32),
+                           axis=tuple(range(1, out.ndim)))
+            return red[:B] if red.shape[0] >= B else jnp.broadcast_to(
+                jnp.mean(red), (B,))
+
+        return jax.lax.fori_loop(0, ITERS, body, c0)
+
+    loop = jax.jit(loop)
+    c0 = jnp.zeros((B,), jnp.float32)
+    float(jnp.sum(loop(c0, *args)))
     t0 = time.perf_counter()
-    r = loop(c0, *args[1:])
-    float(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(r)[0])))
+    float(jnp.sum(loop(c0, *args)))
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{name:34s} {dt*1e3:8.2f} ms", flush=True)
     return dt
@@ -66,9 +79,9 @@ for B in (128, 256):
 
     # full step (carry-perturbed so iterations are dependent)
     timed("full step", lambda c, m: learned_enhance(
-        m + 1e-6 * c[:, None, :], model, variables, cfg,
+        m + 1e-6 * c[:, None, None], model, variables, cfg,
         beamformer="mvdr", feature_kind="physics", use_pallas=use_pallas,
-        dsp_precision="fast"), jnp.zeros((B, n)), mix)
+        dsp_precision="fast"), B, mix)
 
     Y0 = stft(mix, cfg.n_fft, cfg.hop, precision="fast")
     freqs = rfft_freqs(cfg.n_fft, cfg.fs)
@@ -79,22 +92,19 @@ for B in (128, 256):
 
     if B == 128:
         timed("stft only", lambda c, m: stft(
-            m + 1e-6 * c[:, None, :], cfg.n_fft, cfg.hop,
-            precision="fast"), jnp.zeros((B, n)), mix)
+            m + 1e-6 * c[:, None, None], cfg.n_fft, cfg.hop,
+            precision="fast"), B, mix)
         timed("features only", lambda c, Y: physics_aware_features(
-            Y * (1 + 1e-9 * c[..., :1, :, :])), jnp.zeros((B, 1, 1, 1),
-            jnp.complex64), Y0)
+            Y * (1 + 1e-9 * c[:, None, None, None])), B, Y0)
         timed("net only (padded)", lambda c, f: model.apply(
-            variables, f + 1e-6 * c), jnp.zeros_like(fp), fp)
-        mvdr_fn = masked_mvdr_pallas if use_pallas else None
-        if mvdr_fn is not None:
-            timed("pallas mvdr+post", lambda c, Y, m: mvdr_fn(
-                Y * (1 + 1e-9 * c[..., :1, :, :]), 1.0 - m, d, freqs,
-                target_mask=m, mask_floor=0.05, sigma=cfg.sigma,
-                hp_cutoff_hz=cfg.hp_cutoff_hz),
-                jnp.zeros((B, 1, 1, 1), jnp.complex64), Y0, mask0)
+            variables, f + 1e-6 * c[:, None, None, None]), B, fp)
+        if use_pallas:
+            timed("pallas mvdr+post", lambda c, Y, m, dd: masked_mvdr_pallas(
+                Y * (1 + 1e-9 * c[:, None, None, None]), 1.0 - m,
+                dd, freqs, target_mask=m, mask_floor=0.05,
+                sigma=cfg.sigma, hp_cutoff_hz=cfg.hp_cutoff_hz),
+                B, Y0, mask0, d)
         S0 = Y0[:, 0]
         timed("istft only", lambda c, S: istft(
-            S * (1 + 1e-9 * c[..., :1, :1]), cfg.n_fft, cfg.hop,
-            length=n, precision="fast"),
-            jnp.zeros((B, 1, 1), jnp.complex64), S0)
+            S * (1 + 1e-9 * c[:, None, None]), cfg.n_fft, cfg.hop,
+            length=n, precision="fast"), B, S0)

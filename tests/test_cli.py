@@ -8,6 +8,10 @@ from pathlib import Path
 
 import pytest
 
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 

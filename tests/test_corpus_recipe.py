@@ -19,6 +19,10 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 from azoom.io.wav import write_wav
 
 REF_INPUTS = Path("/root/reference/data/inputs")

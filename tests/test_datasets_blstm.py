@@ -11,6 +11,12 @@ from azoom.train.data import synth_batch
 from azoom.train.loop import create_state, make_train_step
 from azoom.config import PipelineConfig
 
+import pytest
+
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 
 def test_local_corpus_sampling(tmp_path, rng):
     for i in range(3):

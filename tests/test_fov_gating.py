@@ -20,6 +20,12 @@ from azoom.masks.geometric import apply_fov_gate, fov_noise_gate
 from azoom.sim.farfield import make_scene
 from azoom.sim.signals import speech_like
 
+import pytest
+
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 CFG = PipelineConfig(mic_dist=0.04)
 N = 32_000
 

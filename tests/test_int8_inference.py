@@ -11,6 +11,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 from azoom.config import PipelineConfig
 from azoom.models.unet import DeepFPU, FreqPreservingUNet, QConv, TPUFPU
 from azoom.train.data import synth_batch

@@ -15,6 +15,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 from azoom.beam.linalg2x2 import solve_2x2_hermitian
 from azoom.beam.linalgmm import solve_hermitian, solve_hermitian_small
 from azoom.beam.mvdr import mvdr_weights

@@ -8,6 +8,12 @@ import numpy as np
 from azoom.masks.features import logmag_ipd_features, physics_aware_features
 from azoom.models.unet import DeepFPU, FreqPreservingUNet, pad_frames
 
+import pytest
+
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 
 def _n_params(tree):
     return sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(tree))

@@ -11,9 +11,11 @@ import pytest
 
 from azoom.sim.corpus_native import NativeCorpus, native_available
 
-pytestmark = pytest.mark.skipif(
-    not native_available(), reason="no C++ toolchain"
-)
+# Round-4 suite tiering: SLOW tier (see README 'Testing').
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not native_available(), reason="no C++ toolchain"),
+]
 
 
 def _write_wav(path, audio, fs=16_000, fmt="pcm16", channels=1):

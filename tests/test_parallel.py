@@ -9,6 +9,12 @@ from azoom.config import PipelineConfig
 from azoom.parallel.mesh import data_sharding, make_mesh
 from azoom.parallel.sweep import oracle_sweep, sharded_sweep, sweep_summary
 
+import pytest
+
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 CFG = PipelineConfig(mic_dist=0.04)
 SMALL_N = 8_192
 

@@ -12,6 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 from azoom.beam.postfilter import harmonic_regeneration, min_stats_noise_psd
 from azoom.config import PipelineConfig
 from azoom.dsp.stft import stft

@@ -20,6 +20,12 @@ from azoom.train.loop import (
     physics_residual,
 )
 
+import pytest
+
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 CFG = PipelineConfig(mic_dist=0.04)
 SMALL_N = 8_192
 

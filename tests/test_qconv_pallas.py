@@ -13,6 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 from azoom.models.unet import TPUFPU, ConvBNRelu, ResBlock
 from azoom.pallas.qconv_kernel import qconv3x3_pallas
 from azoom.pallas.tpufpu_serve import tpufpu_apply_pallas

@@ -22,9 +22,13 @@ from azoom.io.wav import read_wav
 
 REF_INPUTS = Path("/root/reference/data/inputs")
 
-pytestmark = pytest.mark.skipif(
-    not REF_INPUTS.exists(), reason="reference fixtures not mounted"
-)
+# Round-4 suite tiering: SLOW tier (see README 'Testing').
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not REF_INPUTS.exists(), reason="reference fixtures not mounted"
+    ),
+]
 
 # The fixtures' real array is the gen-1 1 cm pair; inference STFT must
 # match the models' training resolution (1024/512).

@@ -17,6 +17,12 @@ from azoom.beam.mvdr import mvdr_weights
 from azoom.beam.rmvb import rmvb_beamform, rmvb_weights
 from azoom.config import PipelineConfig
 
+import pytest
+
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 CFG = PipelineConfig(mic_dist=0.04)
 
 

@@ -27,6 +27,12 @@ from azoom.sim.farfield import make_scene
 from azoom.sim.scene import simulate_room_scene
 from azoom.sim.signals import speech_like_batch
 
+import pytest
+
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
+
 CFG = PipelineConfig(mic_dist=0.04)
 N = 32_000
 

@@ -3,6 +3,10 @@ pipeline stage depends on (SURVEY.md section 4 item 5: round-trip fidelity)."""
 
 import numpy as np
 import pytest
+
+# Round-4 suite tiering: this file's wall-clock puts it in the SLOW
+# tier (see README 'Testing'); run with `pytest -m ""` or `-m slow`.
+pytestmark = pytest.mark.slow
 import scipy.signal
 
 from azoom.dsp import istft, rfft_freqs, stft, stft_frame_count
