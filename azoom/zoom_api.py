@@ -71,6 +71,14 @@ class AudioZoom:
         latency='low': the bearing filter advances once per second of
         received audio and retargets the compiled per-hop step, while
         OUTPUT latency stays at one hop (32-64 ms).
+      tracker: 'causal' (position-only forward Viterbi — the round-3
+        streaming default) or 'momentum' (direction-state trellis,
+        round 4): REQUIRED when a second moving talker's bearing may
+        CROSS the target's — position-only filtering identity-swaps at
+        the crossing, the momentum state carries through it (measured
+        within 0.9 dB of ground-truth steering on crossing scenes;
+        RESULTS.md "Crossing-trajectory"). Applies to the streaming
+        push() filter and, at latency='high', whole-clip enhance().
       latency: 'high' (2 s windows, best quality) or 'low' (hop-level
         causal streaming, 32-64 ms; requires a causal model — defaults to
         'crn_causal' when none is given).
@@ -109,6 +117,7 @@ class AudioZoom:
     int8: bool = False
     autosteer: bool = True
     track: bool = False
+    tracker: str = "causal"
     latency: str = "high"
     native: bool = True
     pipelined: bool = False
@@ -118,6 +127,10 @@ class AudioZoom:
     def __post_init__(self):
         if self.latency not in ("high", "low"):
             raise ValueError(f"latency must be 'high' or 'low', got {self.latency!r}")
+        if self.tracker not in ("causal", "momentum"):
+            raise ValueError(
+                f"tracker must be 'causal' or 'momentum', got {self.tracker!r}"
+            )
         if self.latency == "low" and self.model is None:
             self.model = "crn_causal"
         self._mask_net = None
@@ -183,6 +196,8 @@ class AudioZoom:
         emis = np.log(p + 1e-6)
         gate = np.abs(angles - self.direction_deg) <= self.fov_deg / 2.0
         emis = np.where(gate, emis, -1e9)
+        if self.tracker == "momentum":
+            return self._update_track_momentum(angles, emis)
         if self._track_scores is None:
             # First window: camera aiming prior (the user points the
             # camera at the talker when the zoom starts) — the one chunk
@@ -198,6 +213,39 @@ class AudioZoom:
             scores = (self._track_scores[:, None] + trans).max(axis=0) + emis
         self._track_scores = scores - scores.max()
         self._track_theta = float(angles[np.argmax(scores)])
+        return self._track_theta
+
+    def _update_track_momentum(self, angles: np.ndarray,
+                               emis: np.ndarray) -> float:
+        """Streaming direction-state filtering (the numpy twin of
+        tracking.momentum_track causal=True, one window per call): state
+        (d, theta) with d in {-1, 0, +1}; the momentum carries identity
+        through a bearing crossing with a second moving talker. Tuned
+        regime per the round-4 crossing study: rate 6 deg/window-hop,
+        sigma 3, switch penalty 12, TIGHT (8 deg) first-window aiming
+        prior."""
+        A = angles.shape[0]
+        if getattr(self, "_mom_trans", None) is None or \
+                self._mom_trans.shape[0] != 3 * A:
+            dirs = np.array([-1.0, 0.0, 1.0])
+            step = angles[None, :] - angles[:, None]  # (A_prev, A_next)
+            step_cost = -0.5 * (
+                (step[None] - dirs[:, None, None] * 6.0) / 3.0
+            ) ** 2  # (D', A_prev, A_next)
+            switch = -12.0 * np.abs(dirs[:, None] - dirs[None, :])
+            trans = (switch[:, None, :, None]
+                     + step_cost[None].transpose(0, 2, 1, 3))
+            self._mom_trans = trans.reshape(3 * A, 3 * A).astype(np.float32)
+        emis_s = np.tile(emis, 3)
+        if self._track_scores is None or self._track_scores.shape[0] != 3 * A:
+            prior = -0.5 * ((angles - self.direction_deg) / 8.0) ** 2
+            scores = emis_s + np.tile(prior, 3)
+        else:
+            scores = (
+                self._track_scores[:, None] + self._mom_trans
+            ).max(axis=0) + emis_s
+        self._track_scores = scores - scores.max()
+        self._track_theta = float(angles[int(np.argmax(scores)) % A])
         return self._track_theta
 
     def _enhance_window(self, window: jnp.ndarray) -> jnp.ndarray:
@@ -289,7 +337,10 @@ class AudioZoom:
             out, _ = tracked_autosteer_enhance(
                 mixture, self._zoom_cfg(),
                 fov_center_deg=self.direction_deg,
-                fov_width_deg=float(self.fov_deg), **kwargs,
+                fov_width_deg=float(self.fov_deg),
+                tracker=("momentum" if self.tracker == "momentum"
+                         else "viterbi"),
+                **kwargs,
             )
             return to_numpy(out)
         return to_numpy(self._enhance_window(mixture))
@@ -299,6 +350,7 @@ class AudioZoom:
     def _reset_stream(self):
         self._track_theta = None  # causal tracker state (track=True)
         self._track_scores = None  # forward-Viterbi score vector
+        self._mom_trans = None  # momentum trellis (built on first window)
         self._online = None
         if self.latency == "low":
             from azoom.stream.lowlat import OnlineEnhancer

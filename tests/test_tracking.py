@@ -198,6 +198,35 @@ def test_tracked_pipeline_momentum_tracker_runs():
         assert abs(float(theta[-1]) - 110.0) < 25.0, np.asarray(theta)
 
 
+def test_zoom_api_streaming_momentum_tracker_survives_crossing():
+    """AudioZoom(track=True, tracker='momentum'): the LIVE push() filter
+    carries identity through a bearing crossing with a louder moving
+    interferer; the position-only streaming filter swaps (round-4
+    crossing study, facade-level)."""
+    from azoom import AudioZoom
+
+    cfg = PipelineConfig(mic_dist=0.04)
+    n = 192_000
+    sigs = speech_like_batch(jax.random.PRNGKey(7), 2, n, cfg.fs)
+    sigs = sigs.at[1].multiply(1.3)
+    B = traj_block_count(n, 2048)
+    sc = make_moving_scene(
+        sigs[0], sigs[1:2], linear_trajectory(60.0, 120.0, B),
+        linear_trajectory(120.0, 60.0, B)[None, :], cfg.mic_dist, cfg.fs,
+    )
+    mix = np.asarray(sc["mixture"])
+
+    def final_theta(tracker):
+        z = AudioZoom(cfg=cfg, direction_deg=60.0, fov_deg=120.0,
+                      track=True, tracker=tracker)
+        for i in range(12):
+            z.push(mix[:, i * 16_000 : (i + 1) * 16_000])
+        return z._track_theta
+
+    th_m = final_theta("momentum")
+    assert th_m is not None and abs(th_m - 120.0) < 15.0, th_m
+
+
 def test_causal_track_filters_and_recovers_from_wrong_first_peak():
     """Forward-Viterbi filtering: follows the glide causally, and — unlike
     the EMA point filter — recovers when the FIRST chunk's peak is a
