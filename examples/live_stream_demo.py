@@ -43,6 +43,15 @@ def main():
                    help="moving-talker mode: the target walks 60->120 deg "
                         "and push() follows it with the forward-Viterbi "
                         "bearing filter (AudioZoom track=True)")
+    p.add_argument("--crossing", action="store_true",
+                   help="with --track: the louder interferer glides "
+                        "120->60 deg so its bearing CROSSES the target's; "
+                        "pairs with --tracker momentum (round 4)")
+    p.add_argument("--tracker", default="causal",
+                   choices=["causal", "momentum"],
+                   help="streaming bearing filter: 'momentum' keeps "
+                        "identity through a bearing crossing "
+                        "(azoom.localize.tracking.momentum_track)")
     args = p.parse_args()
 
     cfg = PipelineConfig(mic_dist=0.04)
@@ -58,7 +67,11 @@ def main():
             jnp.stack([speech_like(keys[1], n, cfg.fs, 220.0),
                        speech_like(keys[2], n, cfg.fs, 120.0)]),
             linear_trajectory(60.0, 120.0, traj_block_count(n, 2048)),
-            jnp.asarray([25.0, 155.0]), cfg.mic_dist, cfg.fs,
+            (jnp.stack([
+                linear_trajectory(120.0, 60.0, traj_block_count(n, 2048)),
+                jnp.full((traj_block_count(n, 2048),), 25.0),
+            ]) if args.crossing else jnp.asarray([25.0, 155.0])),
+            cfg.mic_dist, cfg.fs,
         )
     else:
         scene = make_scene(
@@ -75,8 +88,10 @@ def main():
         model = "crn_causal"
     zoom = AudioZoom(
         cfg=cfg, model=model,
-        direction_deg=90.0, fov_deg=120.0 if args.track else 60.0, zoom=0.7,
-        latency=args.latency, track=args.track,
+        # camera ON the talker at zoom start in the crossing demo
+        direction_deg=60.0 if args.crossing else 90.0,
+        fov_deg=120.0 if args.track else 60.0, zoom=0.7,
+        latency=args.latency, track=args.track, tracker=args.tracker,
     )
 
     out = []
