@@ -67,6 +67,26 @@ def test_server_streams_are_independent_and_enhance():
     assert not np.allclose(out[0], out[1])
 
 
+def test_server_with_explicit_geometry():
+    """The batched server composes with mic_positions (round-4
+    geometry axis): 4-mic rectangle streams run end to end."""
+    RECT = ((-0.015, -0.01), (0.015, -0.01), (-0.015, 0.01), (0.015, 0.01))
+    cfg = PipelineConfig(mic_dist=0.04).with_geometry(RECT)
+    S, n = 2, 2 * cfg.win_size
+    mixes = []
+    for s in range(S):
+        sigs = speech_like_batch(jax.random.PRNGKey(20 + s), 2, n, cfg.fs)
+        sc = make_scene(sigs[0], sigs[1:], 90.0, jnp.asarray([40.0]),
+                        0.0, cfg.fs, n_mics=4,
+                        positions=jnp.asarray(RECT, jnp.float32))
+        mixes.append(np.asarray(sc["mixture"]))
+    srv = AudioZoomServer(S, cfg=cfg, model="fpu", int8=False,
+                          use_pallas=False, dsp_precision="exact")
+    out = srv.push(np.stack(mixes))
+    assert out.shape[0] == S and out.shape[1] > 0
+    assert np.all(np.isfinite(out))
+
+
 def test_server_per_stream_steering():
     """set_zoom steers stream 1 only: aiming it at its true 60-degree
     target beats leaving it at the (wrong) 90-degree default."""
