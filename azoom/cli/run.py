@@ -358,7 +358,10 @@ def do_inf(args, paths: PathsConfig) -> Path:
         freqs = rfft_freqs(cfg.n_fft, cfg.fs)
         tau = far_field_delays(cfg.angle_target_deg, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
         expected_ipd = -2.0 * jnp.pi * freqs * (tau[0] - tau[1])
-        noise_mask = ipd_deviation_noise_mask(Y, expected_ipd)
+        noise_mask = ipd_deviation_noise_mask(
+            Y, expected_ipd,
+            pair_mode="first" if cfg.mic_positions is not None else "mean",
+        )
         S = max_snr_fov_beamform(
             Y, noise_mask, freqs, cfg.angle_target_deg,
             args.fov if args.fov is not None else 10.0,

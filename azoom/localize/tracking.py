@@ -122,9 +122,14 @@ def viterbi_track(
 
     last = jnp.argmax(score_last)
 
+    # Backtrack: bps[c-1] maps the state at chunk c to its predecessor at
+    # chunk c - 1. Emitting the PREDECESSOR (not the carry) makes the
+    # reverse-scan outputs land at [s_0 .. s_{C-2}] — the carry-emitting
+    # variant dropped chunk 0's state and duplicated the last one
+    # (ADVICE r4: a clean 30->80 ridge tracked as [40..80, 80]).
     def back(idx, bp):
         prev = bp[idx]
-        return prev, idx
+        return prev, prev
 
     _, path_rev = jax.lax.scan(back, last, bps, reverse=True)
     path = jnp.concatenate([path_rev, jnp.asarray([last])])
@@ -318,9 +323,10 @@ def momentum_track(
 
     last = jnp.argmax(scores[-1])
 
+    # Predecessor-emitting backtrack — see viterbi_track for why.
     def back(idx, bp):
         prev = bp[idx]
-        return prev, idx
+        return prev, prev
 
     _, path_rev = jax.lax.scan(back, last, bps, reverse=True)
     path = jnp.concatenate([path_rev, jnp.asarray([last])])

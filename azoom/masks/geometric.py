@@ -16,22 +16,31 @@ import jax.numpy as jnp
 __all__ = ["ipd", "hard_geometric_noise_mask", "fov_noise_gate", "apply_fov_gate"]
 
 
-def ipd(Y: jnp.ndarray) -> jnp.ndarray:
+def ipd(Y: jnp.ndarray, pair_mode: str = "mean") -> jnp.ndarray:
     """Inter-channel phase difference of an STFT Y (..., M, F, T) ->
     (..., F, T).
 
     M = 2 keeps the reference's raw angle difference
     angle(Y0) - angle(Y1) (range (-2pi, 2pi) — masked_mvdr.py:41's
     convention, which the thresholds downstream were tuned against).
-    M > 2 returns the principal-value phase of the cross-spectrum
-    coherently averaged over all adjacent pairs (same spacing on a
-    uniform array -> same IPD plus independent noise; the same
-    (M-1)-fold average the DOA histogram and the physics features use).
-    Every M-general consumer wraps or thresholds the value, so the
-    principal-value range is compatible."""
+    M > 2 with ``pair_mode='mean'`` returns the principal-value phase of
+    the cross-spectrum coherently averaged over all adjacent pairs (same
+    spacing on a uniform array -> same IPD plus independent noise; the
+    same (M-1)-fold average the DOA histogram and the physics features
+    use). ``pair_mode='first'`` measures the FIRST pair alone — REQUIRED
+    for explicit non-uniform geometries, where heterogeneous baselines
+    measure different phases and averaging them is inconsistent with any
+    single pair's expected IPD (ADVICE r4). Every M-general consumer
+    wraps or thresholds the value, so the principal-value range is
+    compatible."""
     if Y.shape[-3] == 2:
         return jnp.angle(Y[..., 0, :, :]) - jnp.angle(Y[..., 1, :, :])
-    cross = jnp.mean(Y[..., :-1, :, :] * jnp.conj(Y[..., 1:, :, :]), axis=-3)
+    if pair_mode == "first":
+        cross = Y[..., 0, :, :] * jnp.conj(Y[..., 1, :, :])
+    else:
+        cross = jnp.mean(
+            Y[..., :-1, :, :] * jnp.conj(Y[..., 1:, :, :]), axis=-3
+        )
     return jnp.angle(cross + 1e-20)
 
 
@@ -53,11 +62,15 @@ def ipd_deviation_noise_mask(
     Y: jnp.ndarray,
     expected_ipd: jnp.ndarray,
     width: float = 0.5,
+    pair_mode: str = "mean",
 ) -> jnp.ndarray:
     """Soft geometric mask from deviation against an expected per-bin IPD
     (e.g. a steered non-broadside target): sigmoid-shaped in the wrapped
-    phase distance. Generalizes the hard mask to arbitrary steering angles."""
-    diff = ipd(Y) - expected_ipd[..., :, None]
+    phase distance. Generalizes the hard mask to arbitrary steering
+    angles. Callers whose ``expected_ipd`` comes from the first pair's
+    delays on an explicit non-uniform geometry must pass
+    ``pair_mode='first'`` so the measurement matches the expectation."""
+    diff = ipd(Y, pair_mode=pair_mode) - expected_ipd[..., :, None]
     # Wrap to (-pi, pi] without complex math (eager complex exp is
     # unimplemented on some TPU runtimes).
     dev = jnp.mod(diff + jnp.pi, 2.0 * jnp.pi) - jnp.pi
@@ -114,8 +127,15 @@ def fov_noise_gate(
         eff_dist = jnp.sqrt(jnp.sum(dp**2)) + 1e-9
         phi = jnp.rad2deg(jnp.arctan2(dp[1], dp[0]))
         psi, valid = bin_doa(Y[..., :2, :, :], eff_dist, fs, c)
+        # Circular distance per candidate: phi +/- psi lives on the full
+        # circle (e.g. a -y baseline has phi = -90), so a raw difference
+        # against center_deg can read ~360 - true for an on-center target
+        # and the gate would suppress it (ADVICE r4). Wrap to [-180, 180).
+        def circ(a):
+            return jnp.abs(jnp.mod(a + 180.0, 360.0) - 180.0)
+
         dev = jnp.minimum(
-            jnp.abs(phi + psi - center_deg), jnp.abs(phi - psi - center_deg)
+            circ(phi + psi - center_deg), circ(phi - psi - center_deg)
         )
     else:
         theta, valid = bin_doa(Y, mic_dist, fs, c)

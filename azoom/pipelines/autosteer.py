@@ -133,7 +133,12 @@ def autosteer_enhance(
     # steering components.
     tau = far_field_delays(theta, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())  # (M,)
     expected_ipd = -2.0 * jnp.pi * freqs * (tau[0] - tau[1])
-    noise_mask = ipd_deviation_noise_mask(Y, expected_ipd, width=mask_width)
+    # First-pair expectation -> first-pair measurement on explicit
+    # non-uniform geometries (ADVICE r4; see masks.geometric.ipd).
+    pair = "first" if cfg.mic_positions is not None else "mean"
+    noise_mask = ipd_deviation_noise_mask(
+        Y, expected_ipd, width=mask_width, pair_mode=pair
+    )
 
     S = masked_mvdr(
         Y,

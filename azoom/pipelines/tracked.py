@@ -65,7 +65,13 @@ def steered_heuristic_enhance(
     d = steering_vector(freqs, theta_deg, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
     tau = far_field_delays(theta_deg, cfg.mic_dist, cfg.c, cfg.n_mics, positions=cfg.geometry())
     expected_ipd = -2.0 * jnp.pi * freqs * (tau[0] - tau[1])
-    noise_mask = ipd_deviation_noise_mask(Y, expected_ipd, width=mask_width)
+    # The expectation is the FIRST pair's phase; on explicit non-uniform
+    # geometries the measurement must come from the same pair (ADVICE r4
+    # — mean-adjacent mixing heterogeneous baselines corrupts the mask).
+    pair = "first" if cfg.mic_positions is not None else "mean"
+    noise_mask = ipd_deviation_noise_mask(
+        Y, expected_ipd, width=mask_width, pair_mode=pair
+    )
     S = masked_mvdr(
         Y, noise_mask, d, freqs,
         target_mask=1.0 - noise_mask, mask_floor=0.05,

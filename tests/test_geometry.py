@@ -198,6 +198,31 @@ def test_fov_gate_on_explicit_pair_geometry():
             assert mean_gate < 0.35, mean_gate
 
 
+def test_fov_gate_wraps_candidates_circularly():
+    """ADVICE-r4 regression: with the first pair's baseline along -y
+    (phi = -90) and the camera at 120 deg, the true-DOA candidate
+    phi - psi unwraps to theta - 360; without mod-360 wrapping the gate
+    read dev ~ 60 deg for an ON-CENTER target and suppressed it."""
+    from azoom.dsp.stft import stft
+    from azoom.masks.geometric import fov_noise_gate
+    from azoom.sim.farfield import make_scene
+    from azoom.sim.signals import speech_like
+
+    pos = jnp.asarray([[0.0, -0.02], [0.0, 0.02]])
+    tgt = speech_like(jax.random.PRNGKey(3), 16_000, 16_000)
+    sc = make_scene(
+        tgt, jnp.zeros((0, 16_000)), 120.0, jnp.zeros((0,)), 0.0,
+        16_000.0, n_mics=2, positions=pos,
+    )
+    Y = stft(sc["mixture"], 1024, 512)
+    gate, protect, valid = fov_noise_gate(
+        Y, 120.0, 40.0, 0.0, 16_000, positions=pos
+    )
+    v = np.asarray(valid) > 0
+    assert float(np.asarray(gate)[v].mean()) < 0.35
+    assert float(np.asarray(protect)[v].mean()) > 0.5
+
+
 def test_srp_localizes_on_rectangle():
     """SRP with true positions finds a 60-degree source on the
     rectangle-synthesized scene."""

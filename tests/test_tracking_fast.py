@@ -32,6 +32,25 @@ def test_viterbi_and_causal_follow_a_glide():
         assert np.max(np.abs(path - true)) < 7.0, (fn.__name__, path)
 
 
+def test_backtrack_returns_every_chunk_exactly():
+    """Regression for the ADVICE-r4 off-by-one: on a clean ridge the MAP
+    backtrack must return chunk 0's state and not duplicate the last one
+    (the bug tracked 30->80 as [40, 50, 60, 70, 80, 80])."""
+    true = np.array([30.0, 40.0, 50.0, 60.0, 70.0, 80.0])
+    angles, hists = _glide_hists(true, noise=0.0)
+    # trans_sigma large enough that the MAP path has no endpoint pull-in
+    # (at tighter sigmas trading 1 deg of a flat ridge top for transition
+    # gain is genuinely optimal; the bug this guards against is a whole
+    # CHUNK shift, not a 1-deg endpoint trade).
+    path = np.asarray(viterbi_track(angles, hists, trans_sigma_deg=30.0))
+    np.testing.assert_allclose(path, true, atol=1e-5)
+    m = np.asarray(momentum_track(
+        angles, hists, trans_sigma_deg=4.0, rate_deg_per_chunk=10.0,
+        switch_penalty=6.0,
+    ))
+    np.testing.assert_allclose(m, true, atol=1e-5)
+
+
 def test_momentum_smoke_crossing():
     """Minimal crossing: the momentum tracker stays on the quieter
     ascending glide; both two-source paths resolve."""
