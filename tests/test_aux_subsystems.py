@@ -122,9 +122,9 @@ def test_report_and_csv(tmp_path, rng):
     assert lines[0].startswith("Run_ID,SIR_Base,SIR_Enh")
     assert len(lines) == 3
 
-    # Backend-scale guard: a CSV whose perceptual columns were written by
-    # the OTHER PESQ backend (ITU vs _native suffix) must be refused, not
-    # silently mixed into one column.
+    # Header guard: a CSV with the legacy `_native`-suffixed perceptual
+    # columns (the pre-round-5 scheme) must be refused, not silently
+    # continued under the promoted column names.
     import pytest as _pytest
 
     other = tmp_path / "other_backend.csv"

@@ -200,6 +200,157 @@ def test_itu_low_band_zwicker_exponent():
         assert zp == pytest.approx(0.23 * h**0.15, rel=1e-12)
 
 
+# --- 2c. ITU 8 kHz table cross-consistency (round 5) -------------------
+#
+# The 42-band 8 kHz mode shares the 31.25 Hz bin grid with the 16 kHz
+# mode (256-pt FFT at 8 kHz == 512-pt at 16 kHz), so its tables are the
+# 16 kHz tables' prefix with the top band truncated at Nyquist.
+
+def test_itu_8k_bin_counts():
+    """nr_of_hz_bands_per_bark_band (8 kHz) sums to 125 grouped bins
+    (of the 129-bin half spectrum; the 3 bins above the last band edge
+    at ~3.9 kHz are ungrouped, and DC is excluded) and is the 16 kHz
+    table's prefix except the truncated top band."""
+    from azoom.eval.pesq_native import _NR_HZ_BANDS_8K, _NR_HZ_BANDS_16K
+
+    assert _NR_HZ_BANDS_8K.shape == (42,)
+    assert int(np.sum(_NR_HZ_BANDS_8K)) == 125
+    assert np.array_equal(_NR_HZ_BANDS_8K[:41], _NR_HZ_BANDS_16K[:41])
+    assert _NR_HZ_BANDS_8K[41] == 8 < _NR_HZ_BANDS_16K[41]
+
+
+def test_itu_8k_tables_share_the_bark_layout():
+    """Centre/width/threshold tables: the 16 kHz tables' 42-band prefix
+    (same Hz grid + same Bark warp => same layout), so the 16 kHz
+    tiling/threshold consistency checks apply verbatim."""
+    from azoom.eval.pesq_native import (
+        _ABS_THRESH_8K, _ABS_THRESH_16K, _CENTRE_BARK_8K, _CENTRE_BARK_16K,
+        _WIDTH_BARK_8K, _WIDTH_BARK_16K,
+    )
+
+    assert np.array_equal(_CENTRE_BARK_8K, _CENTRE_BARK_16K[:42])
+    assert np.array_equal(_WIDTH_BARK_8K, _WIDTH_BARK_16K[:42])
+    assert np.array_equal(_ABS_THRESH_8K, _ABS_THRESH_16K[:42])
+    # the last 8 kHz band ends below Nyquist: 125 bins * 31.25 Hz
+    assert 125 * 31.25 < 4000.0
+
+
+def test_itu_8k_power_correction_is_100_over_nr():
+    from azoom.eval.pesq_native import _NR_HZ_BANDS_8K, _bands
+
+    b = _bands(8_000)
+    start = 0
+    for band, nr in enumerate(_NR_HZ_BANDS_8K):
+        row = b.group[band]
+        sel = row[start : start + nr]
+        if band == 0:
+            assert np.all(sel == 0.0)
+        else:
+            assert np.allclose(sel, 100.0 / nr)
+        assert np.count_nonzero(row) == (0 if band == 0 else nr)
+        start += nr
+
+
+def test_nb_score_consistent_across_rates():
+    """The same content scored NB at 8 kHz and at 16 kHz must agree
+    closely — both modes measure the same sub-4 kHz band through the
+    same IRS filter and (now) the same Bark tables."""
+    from scipy.signal import resample_poly
+
+    x16 = _speech(6 * FS, seed=3)
+    d16 = _mnru(x16, 20.0)
+    x8 = resample_poly(x16, 1, 2).astype(np.float32)
+    d8 = resample_poly(d16, 1, 2).astype(np.float32)
+    s16 = pesq_native(FS, x16, d16, "nb")
+    s8 = pesq_native(8_000, x8, d8, "nb")
+    assert abs(s16 - s8) < 0.35, (s16, s8)
+    # and both respond to quality: a cleaner condition scores higher
+    assert pesq_native(8_000, x8, resample_poly(_mnru(x16, 40.0), 1, 2), "nb") > s8
+
+
+# --- 2d. P.862 time alignment: utterance splitting + bad intervals -----
+
+def _two_utterances(n_gap=0.6, seed=5):
+    """Two speech bursts separated by silence (~0.8 s each)."""
+    burst = _speech(int(0.8 * FS), seed=seed)
+    gap = np.zeros(int(n_gap * FS), np.float32)
+    lead = np.zeros(int(0.2 * FS), np.float32)
+    return np.concatenate([lead, burst, gap, burst[::-1], gap])
+
+
+def test_vad_finds_utterances_and_delays():
+    from azoom.eval.pesq_native import _utterance_delays, _vad_utterances
+
+    ref = _two_utterances()
+    utts = _vad_utterances(ref, FS)
+    assert len(utts) == 2, utts
+    # re-clock: delay the SECOND utterance by +20 ms
+    shift = int(0.020 * FS)
+    deg = ref.copy()
+    s1 = utts[1][0]
+    deg[s1 + shift :] = ref[s1 : ref.size - shift]
+    deg[s1 : s1 + shift] = 0.0
+    delays = _utterance_delays(ref, deg, FS, utts)
+    assert abs(delays[0]) <= 8, delays
+    assert abs(delays[1] - shift) <= 8, delays
+
+
+def test_utterance_split_rescues_reclocked_audio(monkeypatch):
+    """A channel that re-clocks between utterances must be scored on the
+    speech, not the misalignment: with per-utterance alignment the
+    re-clocked copy scores near-transparent; with the delays pinned to
+    zero (the pre-round-5 constant-delay behavior) it scores far
+    lower."""
+    import azoom.eval.pesq_native as pn
+
+    ref = _two_utterances()
+    utts = pn._vad_utterances(ref, FS)
+    shift = int(0.020 * FS)
+    deg = ref.copy()
+    s1 = utts[1][0]
+    deg[s1 + shift :] = ref[s1 : ref.size - shift]
+    deg[s1 : s1 + shift] = 0.0
+
+    split = pesq_native(FS, ref, deg, "wb")
+    monkeypatch.setattr(
+        pn, "_utterance_delays", lambda *a, **k: [0] * len(utts))
+    monkeypatch.setattr(pn, "_BAD_FRAME_THRESHOLD", np.inf)
+    const = pesq_native(FS, ref, deg, "wb")
+    assert split > const + 0.8, (split, const)
+    assert split > 3.5, split
+
+
+def test_bad_interval_realignment_rescues_mid_utterance_shift(monkeypatch):
+    """A mid-utterance re-clock (continuous audio, so utterance
+    splitting alone cannot fix it) is recovered by the bad-interval
+    realignment; with the realignment disabled the same signal scores
+    markedly lower. The content must vary FAST spectro-temporally
+    (random tone sequence, phone-like) — shifting quasi-stationary audio
+    barely moves its framewise spectra and triggers nothing."""
+    import azoom.eval.pesq_native as pn
+
+    rng = np.random.default_rng(7)
+    n = 4 * FS
+    x = np.zeros(n, np.float32)
+    pos = 0
+    while pos < n:
+        seg = int(rng.uniform(0.04, 0.08) * FS)
+        f = rng.uniform(200, 3400)
+        tone = np.sin(2 * np.pi * f * np.arange(seg) / FS)
+        x[pos : pos + seg] = tone.astype(np.float32)[: max(0, n - pos)][:seg]
+        pos += seg
+    x = 0.1 * x + 0.005 * rng.standard_normal(n).astype(np.float32)
+    shift = int(0.020 * FS)
+    deg = x.copy()
+    mid0, mid1 = int(1.5 * FS), int(2.5 * FS)
+    deg[mid0:mid1] = x[mid0 - shift : mid1 - shift]
+
+    realigned = pesq_native(FS, x, deg, "wb")
+    monkeypatch.setattr(pn, "_BAD_FRAME_THRESHOLD", np.inf)
+    plain = pesq_native(FS, x, deg, "wb")
+    assert realigned > plain + 0.5, (realigned, plain)
+
+
 # --- 3. Reference committed outputs: qualitative ranking ---------------
 
 def _load(name):
