@@ -36,8 +36,10 @@ probe = synth_batch(jax.random.PRNGKey(0), 1, cfg, "physics", cfg.win_size)
 template = create_state(
     TPUFPU(base=64, fold=4, bneck=4, dec_div=2, enc_div=2),
     jax.random.PRNGKey(0), probe["features"].shape)
-state, step = restore_checkpoint("/root/repo/checkpoints/tpufpu_nano_real",
-                                 template)
+CKPT = ("/root/repo/checkpoints/tpufpu_nano_real_aug"
+        if "--aug" in sys.argv else
+        "/root/repo/checkpoints/tpufpu_nano_real")
+state, step = restore_checkpoint(CKPT, template)
 print("real-speech checkpoint step:", step, flush=True)
 net = TPUFPU(base=64, fold=4, quant=True, bneck=4, dec_div=2, enc_div=2)
 v = calibrate_act_scales(

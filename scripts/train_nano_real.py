@@ -88,7 +88,19 @@ def loader_throughput(root: Path, n_batches: int = 30) -> float:
 
 
 if __name__ == "__main__":
-    root = assemble_corpus()
+    # --aug (round 5, VERDICT r4 #7): re-power the question with the
+    # augmented corpus (speed perturbation + randomized-room renders of
+    # the same hygienic utterance family, ~11x the material —
+    # scripts/build_real_corpus_aug.py). Same recipe otherwise.
+    aug = "--aug" in sys.argv
+    if aug:
+        root = Path("/root/repo/data/real_corpus_aug")
+        if not root.exists():
+            sys.exit("run scripts/build_real_corpus_aug.py first")
+        ckpt = "/root/repo/checkpoints/tpufpu_nano_real_aug"
+    else:
+        root = assemble_corpus()
+        ckpt = "/root/repo/checkpoints/tpufpu_nano_real"
     bps = loader_throughput(root)
     print(f"[CORPUS] native loader sustained: {bps:.1f} batches/s "
           f"({bps * 24 * 2:.0f} source-seconds/s)", flush=True)
@@ -115,7 +127,7 @@ if __name__ == "__main__":
         init_variables=init_vars,
         teacher_fn=teacher_fn,
         distill_alpha=0.5,
-        checkpoint_dir="/root/repo/checkpoints/tpufpu_nano_real",
+        checkpoint_dir=ckpt,
         resume=True,
         log_every=500,
     )
