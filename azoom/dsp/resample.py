@@ -60,14 +60,20 @@ def resample_poly(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
     # Upsample by zero stuffing, filter, then decimate — written as one
     # conv with input dilation so XLA lowers it efficiently.
     xb = x.reshape((-1, 1, n)).astype(jnp.float32)
+    n_out = -(-n * up // down)
     pad = (len(h) - 1) // 2
+    # Right padding sized so the strided conv emits AT LEAST n_out
+    # samples: the symmetric (pad, pad) choice can come up one short for
+    # some (n, up, down) (regression: n=137815, up=20, down=17 — and
+    # integer upsampling, e.g. up=3/down=1, is short for every n).
+    n_eff = (n - 1) * up + 1  # input length after dilation
+    pad_r = max(pad, (n_out - 1) * down + len(h) - n_eff - pad)
     y = jax.lax.conv_general_dilated(
         xb,
         h.reshape(1, 1, -1),
         window_strides=(down,),
-        padding=[(pad, pad)],
+        padding=[(pad, pad_r)],
         lhs_dilation=(up,),
         dimension_numbers=("NCH", "OIH", "NCH"),
     )
-    n_out = -(-n * up // down)
     return y[:, 0, :n_out].reshape(lead + (n_out,))

@@ -106,6 +106,19 @@ class AudioZoom:
         interference / low-SNR capture: +0.8-1.0 dB SINR, +0.014-0.034
         STOI), off (default) for clean competing-talker scenes where the
         re-opened bins leak interference (-5 dB SIR).
+      mask_reuse: frame-aligned streaming mask reuse for ``push()``
+        (round 5): the previous window's masks cover the shared half of
+        each new window and the net recomputes only [context + new]
+        frames — measured quality-free (scripts/mask_reuse_study.py,
+        certified through the server path in RESULTS). Requires
+        ``latency='high'``, a (non-causal) mask net, and
+        ``cfg.win_size // 2`` a multiple of ``cfg.hop`` (e.g.
+        win_size=32768). Streaming then delegates to a single-slot
+        AudioZoomServer (device-resident window/OLA/mask state, one
+        hop up + one hop down per window): ``track=True`` composes
+        (per-stream momentum filter), ``autosteer``/``enhance_fn``/
+        ``pipelined``/``harmonic_regen`` do not. Whole-clip
+        ``enhance()`` is unaffected (it is not streaming).
     """
 
     cfg: PipelineConfig = PipelineConfig(mic_dist=0.04)
@@ -123,6 +136,7 @@ class AudioZoom:
     pipelined: bool = False
     dsp_precision: str = "exact"
     harmonic_regen: bool = False
+    mask_reuse: bool = False
 
     def __post_init__(self):
         if self.latency not in ("high", "low"):
@@ -150,6 +164,21 @@ class AudioZoom:
                     f"latency='low' needs a causal streaming model "
                     f"(e.g. 'crn_causal'); {self.model!r} cannot stream"
                 )
+        if self.mask_reuse:
+            if self.latency != "high" or self.model is None:
+                raise ValueError(
+                    "mask_reuse needs latency='high' and a mask net"
+                )
+            if hasattr(self._mask_net[0], "initial_carries"):
+                raise ValueError(
+                    "mask_reuse applies to windowed (non-causal) nets; "
+                    f"{self.model!r} already streams per-frame"
+                )
+            if self.enhance_fn is not None or self.pipelined:
+                raise ValueError(
+                    "mask_reuse is the server streaming path — it does "
+                    "not compose with enhance_fn or pipelined"
+                )
         self._reset_stream()
 
     # -- zoom state ---------------------------------------------------------
@@ -167,6 +196,9 @@ class AudioZoom:
                 # Low-latency mode: the loading is a traced input of the
                 # compiled step — propagate the new zoom mid-stream.
                 self._online.set_sigma(self.sigma)
+        if getattr(self, "_srv", None) is not None:
+            self._srv.set_zoom(0, direction_deg=direction_deg,
+                               zoom=zoom, fov_deg=fov_deg)
 
     @property
     def sigma(self) -> float:
@@ -352,6 +384,22 @@ class AudioZoom:
         self._track_scores = None  # forward-Viterbi score vector
         self._mom_trans = None  # momentum trellis (built on first window)
         self._online = None
+        self._srv = None
+        if self.mask_reuse:
+            from azoom.stream.server import AudioZoomServer
+
+            # Single-slot server: device-resident window/OLA/mask state,
+            # frame-aligned mask reuse, per-stream (= this stream)
+            # steering/zoom/tracking. The server's momentum filter IS
+            # the facade's tracked path at this cadence.
+            self._srv = AudioZoomServer(
+                1, cfg=self.cfg, model=self.model, int8=self.int8,
+                dsp_precision=self.dsp_precision, mask_reuse=True,
+                track=self.track, fov_deg=self.fov_deg,
+            )
+            self._srv.set_zoom(0, direction_deg=self.direction_deg,
+                               zoom=self.zoom, fov_deg=self.fov_deg)
+            return
         if self.latency == "low":
             from azoom.stream.lowlat import OnlineEnhancer
 
@@ -403,6 +451,9 @@ class AudioZoom:
         """Drop all stream state (e.g. on seek or device change)."""
         self._track_theta = None
         self._track_scores = None
+        if getattr(self, "_srv", None) is not None:
+            self._srv.reset()
+            return
         if getattr(self, "_online", None) is not None:
             self._online.reset()
             self._ll_track_buf = np.zeros((self.cfg.n_mics, 0), np.float32)
@@ -427,6 +478,8 @@ class AudioZoom:
         failed window is re-processed. In ``latency='low'`` mode the hop
         is one STFT hop (32 ms), not one second."""
         samples = np.asarray(samples, np.float32)
+        if getattr(self, "_srv", None) is not None:
+            return self._srv.push(samples[None])[0]
         if self._online is not None:
             if self.track:
                 # Every full second of received audio advances the

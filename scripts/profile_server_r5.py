@@ -80,25 +80,27 @@ def run_compute(S, label, **kw):
     reset = jnp.zeros(S, bool)
     state = (srv._dev_win, srv._dev_tail, srv._dev_mask)
 
-    def tick(state):
-        out, w, t, m, _ = _tick_step(
-            state[0], state[1], state[2], hopd, steer, sigma, reset,
-            srv._variables, srv._model, srv.cfg, srv._fk, srv._use_pallas,
-            srv._dsp_precision, srv._ipd_scale, srv._pair_mode,
-            False, srv._reuse, False,
-        )
-        return out, (w, t, m)
+    # On the axon tunnel block_until_ready does not actually block, so
+    # time N ticks INSIDE one jitted scan and fetch a scalar (the
+    # round-4 in-jit timing recipe).
+    @jax.jit
+    def n_ticks(state):
+        def body(st, _):
+            out, w, t, m, _h = _tick_step(
+                st[0], st[1], st[2], hopd, steer, sigma, reset,
+                srv._variables, srv._model, srv.cfg, srv._fk,
+                srv._use_pallas, srv._dsp_precision, srv._ipd_scale,
+                srv._pair_mode, False, srv._reuse, False,
+            )
+            return (w, t, m), jnp.sum(jnp.abs(out))
+        st, sums = jax.lax.scan(body, state, None, length=N_TICKS)
+        return jnp.sum(sums)
 
-    out, state = tick(state)  # compile
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(N_TICKS):
-        t0 = time.perf_counter()
-        out, state = tick(state)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    p50 = float(np.percentile(times, 50))
-    print(f"S={S:4d} {label:12s}: compute-only tick p50 {p50*1e3:7.1f} ms  "
+    float(n_ticks(state))  # compile
+    t0 = time.perf_counter()
+    float(n_ticks(state))
+    p50 = (time.perf_counter() - t0) / N_TICKS
+    print(f"S={S:4d} {label:12s}: compute-only tick {p50*1e3:7.1f} ms  "
           f"{S*TICK_S/p50:7.1f} stream-s/s/chip (co-located bound)",
           flush=True)
     return p50

@@ -136,3 +136,19 @@ def test_flops_counter():
     assert flops == 0.0 or abs(flops - 2 * 128**3) / (2 * 128**3) < 0.1
     rep = roofline_report(f, (x, x), measured_seconds=1e-3)
     assert "achieved_tflops" in rep and rep["measured_s"] == 1e-3
+
+
+def test_resample_poly_odd_lengths():
+    """Regression (round 5): for some (n, up, down) the dilated-conv
+    output came up one sample short of ceil(n*up/down) and the final
+    reshape raised (hit at n=137815, up=20, down=17 while building the
+    speed-perturbed corpus). Output length must be exact for arbitrary
+    lengths and ratios."""
+    rng = np.random.default_rng(3)
+    for n in (137_815, 12_345, 7, 1_000):
+        x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        for up, down in ((20, 17), (17, 20), (5, 8), (8, 5), (3, 1)):
+            y = resample_poly(x, up, down)
+            n_out = -(-n * up // down)
+            assert y.shape == (n_out,), (n, up, down, y.shape)
+            assert bool(jnp.all(jnp.isfinite(y)))

@@ -213,3 +213,44 @@ def test_tracked_facade_follows_moving_talker():
     assert first is not None and zp._track_theta > first + 20.0
     zp.reset()
     assert zp._track_theta is None
+
+
+def test_facade_mask_reuse_stream():
+    """mask_reuse=True routes push() through the single-slot server
+    (round 5): output matches AudioZoomServer(1) exactly, enhances the
+    scene, and set_zoom pans propagate mid-stream without error."""
+    from azoom.stream.server import AudioZoomServer
+
+    cfg = PipelineConfig(mic_dist=0.04, win_size=32_768)
+    n = cfg.win_size + 2 * (cfg.win_size // 2)
+    sigs = speech_like_batch(jax.random.PRNGKey(31), 3, n, cfg.fs)
+    sc = make_scene(sigs[0], sigs[1:], 90.0, jnp.asarray([40.0, 130.0]),
+                    cfg.mic_dist, cfg.fs)
+    mix = np.asarray(sc["mixture"])
+
+    az = AudioZoom(cfg=cfg, model="fpu", int8=False, mask_reuse=True,
+                   dsp_precision="exact")
+    outs = []
+    for i in range(0, n, 10_000):
+        outs.append(az.push(mix[:, i:i + 10_000]))
+    out = np.concatenate(outs)
+
+    srv = AudioZoomServer(1, cfg=cfg, model="fpu", int8=False,
+                          use_pallas=False, dsp_precision="exact",
+                          mask_reuse=True)
+    srv.set_zoom(0, zoom=az.zoom)  # the facade's zoom state -> sigma
+    ref = srv.push(mix[None])[0]
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    hop = cfg.win_size // 2
+    m = out.shape[0]
+    imp = sir_improvement_db(
+        jnp.asarray(out), sc["mixture"][0, hop:hop + m],
+        sc["target_ref"][hop:hop + m], sc["interference_ref"][hop:hop + m])
+    assert float(imp) > 3.0, float(imp)
+
+    az.set_zoom(direction_deg=95.0, zoom=0.8)  # mid-stream pan: no error
+    az.push(mix[:, :hop])
+    az.reset()
+    assert az.push(mix[:, :1_000]).size == 0
