@@ -45,6 +45,10 @@ def main(argv):
         # pytest rc 5 = no tests collected for this marker — not a failure
         if r.returncode not in (0, 5):
             failed.append((f.name, summary))
+            # keep the failure detail (which test, which assert) — a
+            # bare summary line is useless for diagnosing rare flakes
+            for ln in tail[-15:]:
+                print(f"    | {ln}", flush=True)
         print(f"[{i:2d}/{len(files)}] {f.name:42s} {status:6s} "
               f"{time.time()-t0:6.1f}s  {summary}", flush=True)
     print(f"\n== full suite: {len(files)} files in "
